@@ -1,0 +1,64 @@
+"""Headline benchmark: steps/sec of the full stable-fluids step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Flagship config (BASELINE.md north star): 2048² grid, gpu-parity pipeline
+(20 diffusion iters on velocity+dye, 40 pressure iters), driven impulse, full
+jit lax.scan.  vs_baseline compares cell-update throughput against the
+reference GPU's 960x540 @ 108 FPS on an RTX 3090 (= 0.056 Gcell/s,
+BASELINE.md derivation).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from cudafluidsimulation_tpu import FluidConfig, Simulation
+    from cudafluidsimulation_tpu.utils.impulse import orbit_impulse
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        n = 2048
+        steps = 50
+        timing_iters = 5
+    else:  # smoke-test fallback off-TPU
+        n = 256
+        steps = 10
+        timing_iters = 2
+
+    cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=40, backend="auto")
+    sim = Simulation(cfg)
+    imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8, omega=3.0)
+
+    state = sim.init()
+    run = sim._jit_run
+    jax.block_until_ready(run(state, imp))  # compile
+    times = []
+    for _ in range(timing_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(state, imp))
+        times.append(time.perf_counter() - t0)
+    sec = sorted(times)[len(times) // 2]
+    steps_per_sec = steps / sec
+
+    gcell = steps_per_sec * n * n / 1e9
+    baseline_gcell = 0.056  # reference RTX 3090: 960*540*108 (BASELINE.md)
+    result = {
+        "metric": f"sim steps/sec at {n}^2 (40 Jacobi pressure iters, 20 diffusion, "
+        f"gpu-parity pipeline, backend={cfg.resolve_backend()})",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(gcell / baseline_gcell, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

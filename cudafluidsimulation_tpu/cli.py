@@ -1,0 +1,145 @@
+"""Headless CLI — the app shell the reference never had.
+
+The reference's only "configuration" is a compile-time macro and a mouse
+(Main.cpp:13-21, 213-243).  This CLI runs scripted simulations of either
+parity variant at any size, dumps frames/fields/checkpoints, and prints the
+end-of-run timing report in the reference's format (Main.cpp:195-206).
+
+    python -m cudafluidsimulation_tpu.cli --grid 512 --steps 300 \
+        --impulse orbit --frames-dir out/ --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native stable-fluids simulator")
+    p.add_argument("--grid", type=int, default=512, help="square grid size")
+    p.add_argument("--nx", type=int, default=0)
+    p.add_argument("--ny", type=int, default=0)
+    p.add_argument("--variant", choices=["cpu", "gpu"], default="gpu",
+                   help="reference parity variant (parameter set + quirks)")
+    p.add_argument("--backend", choices=["auto", "ref", "pallas"], default="auto")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--dt", type=float, default=1.0 / 60.0)
+    p.add_argument("--diffusion-iters", type=int, default=-1,
+                   help="-1 = variant default (cpu:5, gpu:20)")
+    p.add_argument("--pressure-iters", type=int, default=-1,
+                   help="-1 = variant default (cpu:5, gpu:30)")
+    p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
+    p.add_argument("--frames-dir", default="", help="dump PNG frames here")
+    p.add_argument("--frame-every", type=int, default=10)
+    p.add_argument("--save-fields", default="", help="npz path for final fields")
+    p.add_argument("--checkpoint", default="", help="save final state pytree here")
+    p.add_argument("--resume", default="", help="resume from a state checkpoint")
+    p.add_argument("--report", action="store_true", help="per-stage timing report")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of the rollout")
+    return p
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache so repeat CLI runs skip the (slow)
+    first compile."""
+    import jax
+
+    try:
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _enable_compile_cache()
+
+    from cudafluidsimulation_tpu import FluidConfig, Simulation
+    from cudafluidsimulation_tpu.utils import impulse as imps
+    from cudafluidsimulation_tpu.utils.checkpoint import load_state, save_state
+    from cudafluidsimulation_tpu.utils.png import write_png
+    from cudafluidsimulation_tpu.utils.timing import StageReport
+
+    nx = args.nx or args.grid
+    ny = args.ny or args.grid
+    maker = FluidConfig.cpu_reference if args.variant == "cpu" else FluidConfig.gpu_reference
+    overrides = dict(backend=args.backend, dt=args.dt)
+    if args.diffusion_iters >= 0:
+        overrides["diffusion_iters"] = args.diffusion_iters
+    if args.pressure_iters >= 0:
+        overrides["pressure_iters"] = args.pressure_iters
+    cfg = maker(nx=nx, ny=ny, **overrides)
+    sim = Simulation(cfg)
+
+    if args.impulse == "orbit":
+        imp = imps.orbit_impulse(args.steps, cfg.dt, center=(nx / 2, ny / 2),
+                                 radius=min(nx, ny) / 8, omega=3.0)
+    elif args.impulse == "center":
+        imp = imps.constant_impulse(args.steps, cfg.dt, pos=(nx / 2, ny / 2),
+                                    last_pos=(nx / 2 - 3, ny / 2 - 2))
+    else:
+        imp = imps.no_impulse(args.steps, cfg.dt)
+
+    if args.resume:
+        state = load_state(args.resume)
+        if tuple(state.u.shape) != (ny, nx):
+            raise SystemExit(
+                f"checkpoint grid {state.u.shape[1]}x{state.u.shape[0]} does not "
+                f"match requested --grid {nx}x{ny}; pass the matching size"
+            )
+    else:
+        state = sim.init()
+
+    import jax
+
+    t0 = time.perf_counter()
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            if args.frames_dir:
+                state, frames = sim.collect_frames(state, imp, every=args.frame_every)
+            else:
+                state = sim.run(state, imp)
+            jax.block_until_ready(state)
+    elif args.frames_dir:
+        state, frames = sim.collect_frames(state, imp, every=args.frame_every)
+    else:
+        state = sim.run(state, imp)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+
+    if args.frames_dir:
+        os.makedirs(args.frames_dir, exist_ok=True)
+        for i, frame in enumerate(frames):
+            write_png(os.path.join(args.frames_dir, f"frame_{i:05d}.png"), frame)
+        print(f"wrote {len(frames)} frames to {args.frames_dir}")
+
+    if args.save_fields:
+        np.savez_compressed(
+            args.save_fields,
+            u=np.asarray(state.u), v=np.asarray(state.v),
+            dye=np.asarray(state.dye), pressure=np.asarray(state.pressure),
+        )
+        print(f"saved fields to {args.save_fields}")
+
+    if args.checkpoint:
+        save_state(args.checkpoint, state)
+        print(f"saved checkpoint to {args.checkpoint}")
+
+    rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
+    if args.report:
+        rep.stage_ms = sim.stage_timings().stage_ms
+    print(rep.format())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""The per-step physics pipeline as a pure function.
+
+Both reference backends run the same stage order each frame
+(cpuFluidSim.cpp:327-410 and GPUFluidSim.cu:604-715):
+
+    advect velocity -> advect dye -> vorticity confinement -> diffuse
+    -> [splat if pressed] -> divergence -> Jacobi pressure -> project
+    -> [cpu only: boundary strip] -> render (pack [+ gpu bloom])
+
+``make_step`` builds ``step(state, impulse) -> state`` with the variant
+switches (vorticity formula/sign, splat geometry, color-diffusion no-op,
+divergence scaling, boundary strip) chosen by the config.  The step is pure
+and jit/scan/vmap/shard_map-friendly; "if pressed" is a masked ``jnp.where``
+blend, not control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from cudafluidsimulation_tpu.config import FluidConfig
+from cudafluidsimulation_tpu.ops.backend import get_ops
+from cudafluidsimulation_tpu.state import FluidState
+from cudafluidsimulation_tpu.utils.impulse import Impulse
+
+StepFn = Callable[[FluidState, Impulse], FluidState]
+
+
+def make_step(config: FluidConfig, ops=None) -> StepFn:
+    if ops is None:
+        ops = get_ops(config)
+    palette = jnp.asarray(config.palette_array())
+    cpu_variant = config.variant == "cpu"
+
+    def step(state: FluidState, imp: Impulse) -> FluidState:
+        dt = imp.dt
+        u, v, dye = state.u, state.v, state.dye
+
+        # -- advection (velocity first; dye uses post-advection velocity,
+        #    cpuFluidSim.cpp:340-341 / GPUFluidSim.cu:620-622)
+        u, v = ops.advect_velocity(u, v, dt, config.decay_rate)
+        dye = ops.advect_dye(dye, u, v, dt, config.decay_rate)
+
+        # -- vorticity confinement
+        if cpu_variant:
+            u, v = ops.vorticity_confinement_cpu(u, v, dt, config.vorticity)
+        else:
+            u, v = ops.vorticity_confinement_gpu(u, v, dt, config.vorticity)
+
+        # -- diffusion (velocity always; dye only where the reference's is
+        #    observable — the CPU path's is a buffered-out no-op)
+        if config.diffusion_iters > 0:
+            uv = ops.diffuse(
+                jnp.stack([u, v]), dt, config.velocity_diffusion, config.diffusion_iters
+            )
+            u, v = uv[0], uv[1]
+            if config.color_diffusion_enabled:
+                dye = ops.diffuse(
+                    dye, dt, config.color_diffusion, config.diffusion_iters
+                )
+
+        # -- impulse splat (masked)
+        pressed = imp.pressed
+        pressed_f = pressed.astype(jnp.float32)
+        press_time = state.press_time + dt * pressed_f
+        color = ops.cycle_color(palette, press_time)
+        cur = imp.pos
+        # cpu-parity remembers its own previous position (the mousePos/
+        # lastMousePos globals, cpuFluidSim.cpp:31-32,409); gpu-parity gets
+        # both positions from the caller (Main.cpp:155).
+        last = state.mouse if cpu_variant else imp.last_pos
+        splat = ops.splat_cpu if cpu_variant else ops.splat_gpu
+        su, sv, sdye = splat(
+            u, v, dye, cur, last, dt, config.force_scale, config.splat_radius, color
+        )
+        u = jnp.where(pressed, su, u)
+        v = jnp.where(pressed, sv, v)
+        dye = jnp.where(pressed, sdye, dye)
+
+        # -- pressure projection
+        div = ops.divergence(u, v, config.half_divergence)
+        p = ops.pressure_solve(div, config.pressure_iters)
+        u, v = ops.project(u, v, p)
+
+        # -- boundary strip (cpu path only)
+        if config.boundary_rows > 0:
+            u, v, dye = ops.boundary_strip(u, v, dye, config.boundary_rows)
+
+        return FluidState(
+            u=u,
+            v=v,
+            dye=dye,
+            pressure=p,
+            t=state.t + dt,
+            press_time=press_time,
+            time_since_press=jnp.where(pressed, 0.0, state.time_since_press + dt),
+            mouse=jnp.where(pressed, cur, state.mouse),
+            step=state.step + 1,
+        )
+
+    return step
+
+
+def make_render(config: FluidConfig, ops=None) -> Callable[[FluidState], jnp.ndarray]:
+    """Device-side frame render: dye -> uint8 RGBA (+ optional bloom).
+
+    Replaces the reference's convertToOpenGLInput/applyBloom/writeToTexture
+    chain (GPUFluidSim.cu:432-442, 576-601) — no OpenGL; the frame is a plain
+    (4, H, W) uint8 array ready for host streaming.
+    """
+    if ops is None:
+        ops = get_ops(config)
+
+    def render(state: FluidState) -> jnp.ndarray:
+        rgba = ops.pack_rgba(state.dye)
+        if config.bloom_enabled:
+            bloomed = ops.apply_bloom(
+                rgba, state.mouse, config.bloom_intense, config.splat_radius
+            )
+            active = state.time_since_press < config.bloom_duration
+            rgba = jnp.where(active, bloomed, rgba)
+        return rgba
+
+    return render

@@ -1,0 +1,180 @@
+"""The simulation harness: jitted scan loop, frame collection, timing.
+
+This is the TPU-native replacement for the reference's app shell + frame loop
+(Main.cpp:61-210): instead of a host-driven while-loop launching kernels every
+frame, the whole multi-step rollout is one compiled ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudafluidsimulation_tpu.config import FluidConfig
+from cudafluidsimulation_tpu.models.pipelines import make_render, make_step
+from cudafluidsimulation_tpu.ops.backend import get_ops
+from cudafluidsimulation_tpu.state import FluidState, init_state
+from cudafluidsimulation_tpu.utils.impulse import Impulse, no_impulse
+from cudafluidsimulation_tpu.utils.timing import StageReport, time_fn
+
+
+def run_scan(step_fn, state: FluidState, impulses: Impulse) -> FluidState:
+    """Run ``step_fn`` over a batched impulse stream under one scan."""
+    final, _ = jax.lax.scan(lambda s, imp: (step_fn(s, imp), None), state, impulses)
+    return final
+
+
+def run_scan_collect(
+    step_fn, render_fn, state: FluidState, impulses: Impulse, every: int
+) -> Tuple[FluidState, jnp.ndarray]:
+    """Scan that also emits a rendered RGBA frame every ``every`` steps."""
+
+    def body(s, imp):
+        s2 = step_fn(s, imp)
+        emit = (s2.step % every) == 0
+        return s2, (render_fn(s2), emit)
+
+    final, (frames, emits) = jax.lax.scan(body, state, impulses)
+    return final, frames, emits
+
+
+class Simulation:
+    """Convenience wrapper: config -> jitted step/run/render + reporting.
+
+    Equivalent surface to the reference's 4-function backend APIs
+    (init/step/free/getAverageTimes, cpuFluidSim.h:8-11) plus everything the
+    reference lacks: headless rollouts, frame dumps, checkpoints, timing.
+    """
+
+    def __init__(self, config: FluidConfig):
+        self.config = config
+        self.ops = get_ops(config)
+        self.step_fn = make_step(config, self.ops)
+        self.render_fn = make_render(config, self.ops)
+        self._jit_step = jax.jit(self.step_fn)
+        self._jit_run = jax.jit(functools.partial(run_scan, self.step_fn))
+        self._jit_render = jax.jit(self.render_fn)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def init(self) -> FluidState:
+        return init_state(self.config)
+
+    def step(self, state: FluidState, imp: Impulse) -> FluidState:
+        return self._jit_step(state, imp)
+
+    def run(self, state: FluidState, impulses: Impulse) -> FluidState:
+        return self._jit_run(state, impulses)
+
+    def run_steps(self, state: FluidState, steps: int) -> FluidState:
+        return self.run(state, no_impulse(steps, self.config.dt))
+
+    # -- rendering ----------------------------------------------------------
+
+    def render(self, state: FluidState, flip: bool = True) -> np.ndarray:
+        """uint8 (H, W, 4) frame; ``flip`` puts y-up at image top for viewing."""
+        rgba = np.asarray(self._jit_render(state))  # (4, H, W)
+        img = np.moveaxis(rgba, 0, -1)
+        return img[::-1] if flip else img
+
+    def collect_frames(
+        self, state: FluidState, impulses: Impulse, every: int = 1
+    ):
+        fn = jax.jit(
+            functools.partial(run_scan_collect, self.step_fn, self.render_fn, every=every)
+        )
+        final, frames, emits = fn(state, impulses)
+        frames = np.asarray(frames)[np.asarray(emits)]
+        return final, np.moveaxis(frames, 1, -1)[:, ::-1]  # (N, H, W, 4), y-up
+
+    # -- ensembles ----------------------------------------------------------
+
+    def vmapped_run(self):
+        """vmap of the rollout over a leading batch axis of (state, impulses) —
+        independent sims batched on one chip (parameter sweeps)."""
+        return jax.jit(jax.vmap(functools.partial(run_scan, self.step_fn)))
+
+    # -- timing / report ----------------------------------------------------
+
+    def benchmark(self, steps: int = 100, impulses: Optional[Impulse] = None,
+                  iters: int = 5) -> StageReport:
+        state = self.init()
+        if impulses is None:
+            impulses = no_impulse(steps, self.config.dt)
+        sec = time_fn(self._jit_run, state, impulses, iters=iters)
+        report = StageReport(
+            grid=f"{self.config.nx}x{self.config.ny}", steps=steps, total_s=sec
+        )
+        return report
+
+    def stage_timings(self, iters: int = 20) -> StageReport:
+        """Out-of-band per-stage breakdown (jit each stage separately), the
+        analogue of the reference's per-stage averages (Main.cpp:195-206)."""
+        cfg = self.config
+        ops = self.ops
+        state = self.init()
+        dt = jnp.float32(cfg.dt)
+        u, v, dye, p = state.u, state.v, state.dye, state.pressure
+        palette = jnp.asarray(cfg.palette_array())
+        color = palette[0]
+        pos = jnp.asarray([cfg.nx / 2.0, cfg.ny / 2.0], jnp.float32)
+
+        stages = {
+            "Advect": jax.jit(
+                lambda u, v, dye: (
+                    ops.advect_dye(dye, *ops.advect_velocity(u, v, dt, cfg.decay_rate),
+                                   dt, cfg.decay_rate)
+                )
+            ),
+            "Vorticity": jax.jit(
+                lambda u, v: ops.vorticity_confinement_cpu(u, v, dt, cfg.vorticity)
+                if cfg.variant == "cpu"
+                else ops.vorticity_confinement_gpu(u, v, dt, cfg.vorticity)
+            ),
+            "Diffuse": jax.jit(
+                lambda u, v: ops.diffuse(
+                    jnp.stack([u, v]), dt, cfg.velocity_diffusion, cfg.diffusion_iters
+                )
+            ),
+            "Force": jax.jit(
+                lambda u, v, dye: ops.splat_gpu(
+                    u, v, dye, pos, pos, dt, cfg.force_scale, cfg.splat_radius, color
+                )
+            ),
+            "Pressure": jax.jit(
+                lambda u, v: ops.pressure_solve(
+                    ops.divergence(u, v, cfg.half_divergence), cfg.pressure_iters
+                )
+            ),
+            "Project": jax.jit(lambda u, v, p: ops.project(u, v, p)),
+            "Paint": jax.jit(lambda dye: ops.pack_rgba(dye)),
+        }
+        if cfg.bloom_enabled:
+            rgba = ops.pack_rgba(dye)
+            stages["Bloom"] = jax.jit(
+                lambda r: ops.apply_bloom(r, pos, cfg.bloom_intense, cfg.splat_radius)
+            )
+
+        args = {
+            "Advect": (u, v, dye),
+            "Vorticity": (u, v),
+            "Diffuse": (u, v),
+            "Force": (u, v, dye),
+            "Pressure": (u, v),
+            "Project": (u, v, p),
+            "Paint": (dye,),
+        }
+        if cfg.bloom_enabled:
+            args["Bloom"] = (ops.pack_rgba(dye),)
+
+        report = StageReport(grid=f"{cfg.nx}x{cfg.ny}", steps=iters, total_s=0.0)
+        for name, fn in stages.items():
+            sec = time_fn(fn, *args[name], iters=iters)
+            report.stage_ms[name] = sec * 1000.0
+            report.total_s += sec
+        report.steps = 1
+        return report

@@ -1,0 +1,242 @@
+"""Burst Jacobi sweeps in VMEM — the hot kernels of the engine.
+
+The CUDA reference amortizes HBM traffic for its iterative stages by loading a
+(16+2)² shared-memory tile once and running 20-30 Jacobi iterations on it with
+*stale* halos (GPUFluidSim.cu:316-429 diffuse, :445-495 pressure) — an
+approximation that decouples tiles.  The TPU design here keeps the exactness:
+
+  - The grid is split into row strips of ``block_rows`` x W kept in VMEM with
+    a halo of depth ``hd`` (a multiple of 8, the f32 sublane tile) on both
+    sides.
+  - Each kernel invocation runs ``k <= hd`` exact Jacobi sweeps; the valid
+    region shrinks by one row per sweep (the classic trapezoid blocking
+    argument), so after ``k`` sweeps the strip interior equals bit-exact
+    *global* Jacobi.
+  - Between bursts the strips re-fetch fresh halos from HBM, so ``iters``
+    total sweeps cost ~``iters/k`` field round-trips instead of ``iters``.
+
+Boundary conditions: the clamped stencil (CLAMP macro, cpuFluidSim.cpp:8) is
+the Neumann condition p(-1)=p(0), whose exact ghost extension is the even
+reflection p(-1-j)=p(j).  Physical-edge strips therefore fill their halo with
+*mirrored* interior rows; a mirrored halo evolves, by symmetry, exactly like
+its interior image under every sweep.  (Edge replication is exact only for
+k <= 2 — verified numerically.)
+
+X-neighbors use lane rotates (pltpu.roll) + edge selects, so a sweep is pure
+VPU work on VMEM-resident data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cudafluidsimulation_tpu.config import FluidConfig
+
+_SUBLANE = 8  # f32 sublane tile; block row counts must be multiples of this
+
+
+def _interpret() -> bool:
+    # Run kernels through the interpreter off-TPU so tests exercise this path.
+    return jax.default_backend() != "tpu"
+
+
+def _clamped_neighbors(a: jnp.ndarray):
+    """(left, right, below, above) neighbors of the VMEM-resident strip.
+
+    X-borders are clamped (edge-replicated) with a select: a[y, 0] is its own
+    clamped left neighbor.  Y needs NO clamping here: the halo is mirror-
+    filled (physical edges) or garbage-tolerated (strip seams, trapezoid
+    argument), so the wrap-around rows a plain rotate brings in never reach
+    the emitted interior.  pltpu.roll requires non-negative shifts; rolling
+    by size-1 is rolling by -1.
+    """
+    rows, w = a.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    left = jnp.where(col == 0, a, pltpu.roll(a, 1, axis=1))
+    right = jnp.where(col == w - 1, a, pltpu.roll(a, w - 1, axis=1))
+    below = pltpu.roll(a, 1, axis=0)
+    above = pltpu.roll(a, rows - 1, axis=0)
+    return left, right, below, above
+
+
+def _flip_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row reversal via static slices (Mosaic has no `rev` lowering; the
+    halo is only 8-16 rows so this is a handful of sublane copies)."""
+    n = x.shape[0]
+    return jnp.concatenate([x[j : j + 1] for j in reversed(range(n))], axis=0)
+
+
+def _edge_fill(ext: jnp.ndarray, strip_idx, n_strips: int, hd: int) -> jnp.ndarray:
+    """Mirror-fill the ``hd`` halo rows of physical-boundary strips (even
+    reflection — see module docstring)."""
+    first = strip_idx == 0
+    last = strip_idx == n_strips - 1
+    low = jnp.concatenate([_flip_rows(ext[hd : 2 * hd]), ext[hd:]], axis=0)
+    ext = jnp.where(first, low, ext)
+    high = jnp.concatenate([ext[:-hd], _flip_rows(ext[-2 * hd : -hd])], axis=0)
+    ext = jnp.where(last, high, ext)
+    return ext
+
+
+def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_strips):
+    i = pl.program_id(1)
+    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+    de = jnp.concatenate([d_lo[0], d_mid[0], d_hi[0]], axis=0)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    de = _edge_fill(de, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    out[0] = pe[hd:-hd, :]
+
+
+def _diffuse_kernel(alpha_ref, f_mid, f_lo, f_hi, out, *, k, hd, n_strips):
+    i = pl.program_id(1)
+    alpha = alpha_ref[0, 0]
+    inv_beta = 1.0 / (4.0 + alpha)
+    fe = jnp.concatenate([f_lo[0], f_mid[0], f_hi[0]], axis=0)
+    fe = _edge_fill(fe, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(fe)
+        fe = (l + r + b + t + fe * alpha) * inv_beta
+    out[0] = fe[hd:-hd, :]
+
+
+def _strip_specs(h: int, w: int, r: int, hd: int):
+    """BlockSpecs for (strip, low-halo, high-halo) of a (C, H, W) array.
+
+    Halo blocks are (hd, W) slices addressed in hd-row units; physical-edge
+    strips clamp the halo index onto valid data (whose contents are then
+    replaced by _edge_fill), keeping every index in bounds.
+    """
+    n_strips = h // r
+    hblk = h // hd
+
+    def mid(c, i):
+        return (c, i, 0)
+
+    def lo(c, i):
+        # rows [i*r - hd, i*r): block index i*(r//hd) - 1, clamped at 0
+        return (c, jnp.maximum(i * (r // hd) - 1, 0), 0)
+
+    def hi(c, i):
+        # rows [(i+1)*r, (i+1)*r + hd): clamped at the last hd-row block
+        return (c, jnp.minimum((i + 1) * (r // hd), hblk - 1), 0)
+
+    vm = pltpu.VMEM
+    return (
+        pl.BlockSpec((1, r, w), mid, memory_space=vm),
+        pl.BlockSpec((1, hd, w), lo, memory_space=vm),
+        pl.BlockSpec((1, hd, w), hi, memory_space=vm),
+        n_strips,
+    )
+
+
+def _halo_depth(k: int) -> int:
+    return max(_SUBLANE, -(-k // _SUBLANE) * _SUBLANE)
+
+
+def _pick_block_rows(h: int, hd: int, w: int, requested: int) -> int:
+    """Largest strip height <= requested that divides H, is a multiple of the
+    halo depth, and keeps the working set comfortably inside VMEM."""
+    budget_rows = max(hd, int((6 * 1024 * 1024) / (4 * w * 4)))
+    r = min(requested, budget_rows)
+    r = max(hd, (r // hd) * hd)
+    while r >= hd:
+        if h % r == 0 and r % hd == 0:
+            return r
+        r -= hd
+    return 0
+
+
+def supported(config: FluidConfig) -> bool:
+    h, w = config.shape
+    if w % 128 != 0:
+        return False
+    return _pick_block_rows(h, _SUBLANE, w, config.block_rows) >= _SUBLANE
+
+
+def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
+    """Split ``iters`` sweeps into bursts of at most ``burst``, each with a
+    viable (strip, halo) geometry.  Returns [(k, r, hd), ...]."""
+    out = []
+    left = iters
+    while left > 0:
+        k = min(burst, left)
+        r = 0
+        while k >= 1:
+            hd = _halo_depth(k)
+            r = _pick_block_rows(h, hd, w, requested)
+            if r >= hd:
+                break
+            k -= 1
+        if r == 0 or k < 1:
+            raise ValueError(
+                f"no viable pallas Jacobi geometry for grid {h}x{w}; "
+                "use the ref backend for this size"
+            )
+        out.append((k, r, _halo_depth(k)))
+        left -= k
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))
+def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256, burst: int = 8):
+    """Exact ``iters``-sweep Jacobi pressure solve from p=0
+    (ref semantics: cpuFluidSim.cpp:236-258 / GPUFluidSim.cu:445-495)."""
+    h, w = div.shape
+    if iters == 0:
+        return jnp.zeros_like(div)
+    p = jnp.zeros((1, h, w), jnp.float32)
+    d = div[None]
+    for k, r, hd in _burst_schedule(iters, burst, h, w, block_rows):
+        mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+        kern = functools.partial(_pressure_kernel, k=k, hd=hd, n_strips=n_strips)
+        p = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+            grid=(1, n_strips),
+            in_specs=[mid, lo, hi, mid, lo, hi],
+            out_specs=pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(p, p, p, d, d, d)
+    return p[0]
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))
+def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
+            block_rows: int = 256, burst: int = 8):
+    """Exact ``iters``-sweep Jacobi diffusion of (C, H, W) fields with
+    alpha = diffusion²/dt, beta = 4 + alpha (ref: cpuFluidSim.cpp:182-233)."""
+    if iters == 0:
+        return fields
+    squeeze = fields.ndim == 2
+    if squeeze:
+        fields = fields[None]
+    c, h, w = fields.shape
+    alpha = jnp.asarray(
+        jnp.float32(diffusion) * jnp.float32(diffusion) / jnp.asarray(dt, jnp.float32)
+    ).reshape(1, 1)
+    f = fields
+    for k, r, hd in _burst_schedule(iters, burst, h, w, block_rows):
+        mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+        kern = functools.partial(_diffuse_kernel, k=k, hd=hd, n_strips=n_strips)
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+            grid=(c, n_strips),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
+                mid, lo, hi,
+            ],
+            out_specs=pl.BlockSpec((1, r, w), lambda ci, i: (ci, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(alpha, f, f, f)
+    return f[0] if squeeze else f

@@ -1,0 +1,113 @@
+"""Harness utilities: checkpointing, PNG writer, impulses, graft entry, CLI."""
+
+import os
+import sys
+import zlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cudafluidsimulation_tpu import FluidConfig, Simulation
+from cudafluidsimulation_tpu.utils.checkpoint import load_state, save_state
+from cudafluidsimulation_tpu.utils.impulse import (
+    concat_impulses,
+    constant_impulse,
+    mouse_to_grid,
+    no_impulse,
+    orbit_impulse,
+)
+from cudafluidsimulation_tpu.utils.png import write_png
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref")
+    sim = Simulation(cfg)
+    imp = constant_impulse(8, cfg.dt, pos=(32.0, 32.0), last_pos=(30.0, 30.0))
+    state = sim.run(sim.init(), imp)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, state)
+    restored = load_state(path)
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume must continue identically to an uninterrupted run
+    more = no_impulse(5, cfg.dt)
+    cont = sim.run(restored, more)
+    full = sim.run(sim.init(), concat_impulses(imp, more))
+    np.testing.assert_allclose(np.asarray(cont.u), np.asarray(full.u), atol=1e-6)
+
+
+def test_png_writer(tmp_path):
+    img = np.random.default_rng(0).integers(0, 255, (32, 48, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    path = str(tmp_path / "x.png")
+    write_png(path, img)
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode the IDAT scanlines back and compare
+    idat_off = data.index(b"IDAT") + 4
+    idat_len = int.from_bytes(data[idat_off - 8 : idat_off - 4], "big")
+    raw = zlib.decompress(data[idat_off : idat_off + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(32, 1 + 48 * 4)
+    assert (rows[:, 0] == 0).all()
+    np.testing.assert_array_equal(rows[:, 1:].reshape(32, 48, 4), img)
+
+
+def test_mouse_to_grid_both_variants():
+    # cpu: cpuFluidSim.cpp:301-303 (1024² window, 128² grid)
+    gx, gy = mouse_to_grid(512.0, 0.0, (1024, 1024), (128, 128), "cpu")
+    assert gx == 64.0
+    assert gy == (1024 - 1) * 128 / 1024  # top of window -> top row
+    # gpu: Main.cpp:155 (1920x1080 window, scale 2)
+    gx, gy = mouse_to_grid(960.0, 1080.0, (1920, 1080), (960, 540), "gpu")
+    assert (gx, gy) == (480.0, 0.0)
+
+
+def test_graft_entry_single_chip():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.u.shape == (512, 512)
+    assert bool(jnp.isfinite(out.u).all())
+
+
+def test_graft_entry_multichip():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
+
+
+def test_cli_headless(tmp_path):
+    from cudafluidsimulation_tpu.cli import main
+
+    frames = tmp_path / "frames"
+    fields = tmp_path / "fields.npz"
+    rc = main([
+        "--grid", "64", "--steps", "12", "--backend", "ref",
+        "--impulse", "center", "--frame-every", "6",
+        "--frames-dir", str(frames), "--save-fields", str(fields),
+    ])
+    assert rc == 0
+    assert len(list(frames.glob("*.png"))) == 2
+    with np.load(fields) as d:
+        assert d["u"].shape == (64, 64)
+        assert d["dye"].shape == (3, 64, 64)
+        assert np.abs(d["dye"]).max() > 0
+
+
+def test_stage_timing_report():
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref")
+    sim = Simulation(cfg)
+    rep = sim.stage_timings(iters=2)
+    for name in ("Advect", "Vorticity", "Diffuse", "Force", "Pressure",
+                 "Project", "Paint", "Bloom"):
+        assert name in rep.stage_ms
+    text = rep.format()
+    assert "SIMULATION END" in text
