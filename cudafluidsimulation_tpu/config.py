@@ -108,6 +108,10 @@ class FluidConfig:
     # Pallas tuning: rows per Jacobi block and sweeps fused per HBM round trip.
     block_rows: int = 256
     jacobi_burst: int = 8
+    # Pallas advection displacement bound (cells/step): backtraces beyond this
+    # clamp to +/-max_displacement.  The ref backend is unbounded (exact
+    # reference parity); see ops/advect_pallas.py.
+    max_displacement: int = 15
 
     def __post_init__(self):
         if self.variant not in ("cpu", "gpu"):

@@ -22,7 +22,7 @@ from cudafluidsimulation_tpu.config import FluidConfig
 
 
 def overrides(config: FluidConfig) -> dict:
-    from cudafluidsimulation_tpu.ops import jacobi_pallas
+    from cudafluidsimulation_tpu.ops import advect_pallas, jacobi_pallas
 
     out = {}
     if jacobi_pallas.supported(config):
@@ -36,4 +36,8 @@ def overrides(config: FluidConfig) -> dict:
             block_rows=config.block_rows,
             burst=config.jacobi_burst,
         )
+    d = config.max_displacement
+    if advect_pallas.supported(config.ny, config.nx, 3, d):
+        out["advect_velocity"] = functools.partial(advect_pallas.advect_velocity, d=d)
+        out["advect_dye"] = functools.partial(advect_pallas.advect_dye, d=d)
     return out

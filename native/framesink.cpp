@@ -1,0 +1,186 @@
+// Native asynchronous frame sink.
+//
+// The reference's display path is native: dye pixels go through a CUDA
+// surface write into a GL texture and are blitted by the window loop
+// (GPUFluidSim.cu:594-601, Main.cpp:166-180) — the host Python equivalent
+// must not stall the simulation while encoding/writing frames.  This sink is
+// that native piece for the TPU rebuild: a producer/consumer ring buffer
+// where the simulation thread pushes RGBA frames (non-blocking, drop-oldest
+// like a real-time display) and a background thread encodes them to PNG
+// (zlib) and writes them to disk.
+//
+// C ABI (used from Python via ctypes):
+//   fs_open(dir, w, h, capacity) -> handle
+//   fs_push(handle, rgba_ptr)    -> 1 if queued, 0 if dropped
+//   fs_flush(handle)             -> block until queue drained
+//   fs_frames_written(handle), fs_frames_dropped(handle)
+//   fs_close(handle)             -> flush, join, free
+//
+// Build: g++ -O3 -shared -fPIC framesink.cpp -o libframesink.so -lz -pthread
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+void put_be32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back(uint8_t(v >> 24));
+  out.push_back(uint8_t(v >> 16));
+  out.push_back(uint8_t(v >> 8));
+  out.push_back(uint8_t(v));
+}
+
+void put_chunk(std::vector<uint8_t>& out, const char tag[4],
+               const uint8_t* data, size_t n) {
+  put_be32(out, uint32_t(n));
+  size_t tag_off = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  out.insert(out.end(), data, data + n);
+  uLong crc = crc32(0L, out.data() + tag_off, uInt(4 + n));
+  put_be32(out, uint32_t(crc));
+}
+
+// Encode an RGBA8 image as a PNG (filter 0 scanlines, one IDAT).
+std::vector<uint8_t> encode_png(const uint8_t* rgba, int w, int h) {
+  std::vector<uint8_t> raw;
+  raw.reserve(size_t(h) * (1 + size_t(w) * 4));
+  for (int y = 0; y < h; y++) {
+    raw.push_back(0);  // filter: none
+    raw.insert(raw.end(), rgba + size_t(y) * w * 4,
+               rgba + size_t(y + 1) * w * 4);
+  }
+  uLongf bound = compressBound(uLong(raw.size()));
+  std::vector<uint8_t> compressed(bound);
+  compress2(compressed.data(), &bound, raw.data(), uLong(raw.size()), 6);
+  compressed.resize(bound);
+
+  std::vector<uint8_t> out;
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  out.insert(out.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
+  ihdr[2] = uint8_t(w >> 8);  ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
+  ihdr[6] = uint8_t(h >> 8);  ihdr[7] = uint8_t(h);
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 6;   // RGBA
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  put_chunk(out, "IHDR", ihdr, 13);
+  put_chunk(out, "IDAT", compressed.data(), compressed.size());
+  put_chunk(out, "IEND", nullptr, 0);
+  return out;
+}
+
+struct FrameSink {
+  std::string dir;
+  int w = 0, h = 0;
+  size_t capacity = 0;
+
+  std::mutex mu;
+  std::condition_variable cv_push, cv_drain;
+  std::vector<std::vector<uint8_t>> queue;  // raw RGBA frames
+  bool closing = false;
+
+  std::atomic<uint64_t> written{0};
+  std::atomic<uint64_t> dropped{0};
+  bool busy = false;  // a frame is popped and being encoded
+
+  std::thread worker;
+
+  void run() {
+    for (;;) {
+      std::vector<uint8_t> frame;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_push.wait(lk, [&] { return closing || !queue.empty(); });
+        if (queue.empty()) {
+          if (closing) return;
+          continue;
+        }
+        frame = std::move(queue.front());
+        queue.erase(queue.begin());
+        busy = true;
+      }
+      std::vector<uint8_t> png = encode_png(frame.data(), w, h);
+      char path[4096];
+      snprintf(path, sizeof(path), "%s/frame_%08llu.png", dir.c_str(),
+               (unsigned long long)written.load());
+      FILE* f = fopen(path, "wb");
+      if (f) {
+        fwrite(png.data(), 1, png.size(), f);
+        fclose(f);
+        written++;
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        busy = false;
+      }
+      cv_drain.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fs_open(const char* dir, int w, int h, int capacity) {
+  auto* s = new FrameSink();
+  s->dir = dir;
+  s->w = w;
+  s->h = h;
+  s->capacity = size_t(capacity > 0 ? capacity : 8);
+  s->worker = std::thread([s] { s->run(); });
+  return s;
+}
+
+int fs_push(void* handle, const uint8_t* rgba) {
+  auto* s = static_cast<FrameSink*>(handle);
+  std::vector<uint8_t> copy(rgba, rgba + size_t(s->w) * s->h * 4);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    if (s->queue.size() >= s->capacity) {
+      s->dropped++;
+      return 0;  // drop like a saturated display queue
+    }
+    s->queue.push_back(std::move(copy));
+  }
+  s->cv_push.notify_one();
+  return 1;
+}
+
+void fs_flush(void* handle) {
+  auto* s = static_cast<FrameSink*>(handle);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_drain.wait(lk, [&] { return s->queue.empty() && !s->busy; });
+}
+
+uint64_t fs_frames_written(void* handle) {
+  return static_cast<FrameSink*>(handle)->written.load();
+}
+
+uint64_t fs_frames_dropped(void* handle) {
+  return static_cast<FrameSink*>(handle)->dropped.load();
+}
+
+void fs_close(void* handle) {
+  auto* s = static_cast<FrameSink*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->closing = true;
+  }
+  s->cv_push.notify_all();
+  s->worker.join();
+  delete s;
+}
+
+}  // extern "C"

@@ -1,0 +1,81 @@
+"""Pallas bounded-displacement advection vs the exact ref op."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cudafluidsimulation_tpu.ops import advect_pallas, ref
+
+H, W = 64, 128
+DT = 1.0 / 60.0
+
+
+def _vel(rng, scale):
+    u = (rng.standard_normal((H, W)) * scale).astype(np.float32)
+    v = (rng.standard_normal((H, W)) * scale).astype(np.float32)
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+def test_zero_velocity_identity(rng):
+    z = jnp.zeros((H, W), jnp.float32)
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    exp = ref.advect_dye(dye, z, z, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, z, z, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
+
+
+@pytest.mark.parametrize("scale", [5.0, 60.0, 200.0])
+def test_velocity_advection_within_bound(rng, scale):
+    """scale*dt stays within the displacement bound -> must match exactly."""
+    u, v = _vel(rng, scale)
+    # clip velocities so displacements stay within D=7 cells
+    cap = 6.9 / DT
+    u = jnp.clip(u, -cap, cap)
+    v = jnp.clip(v, -cap, cap)
+    eu, ev = ref.advect_velocity(u, v, DT, 1.2)
+    gu, gv = advect_pallas.advect_velocity(u, v, DT, 1.2)
+    # masked-sum accumulation order differs from the ref's nested lerp; with
+    # taps of magnitude ~scale cancelling, f32 rounding scales with the taps
+    atol = max(1e-4, 3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=atol)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=atol)
+
+
+def test_dye_advection_with_fade(rng):
+    u, v = _vel(rng, 60.0)
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+
+def test_edge_backtrace_clamping(rng):
+    """Uniform large rightward flow: left edge cells backtrace beyond x=0 and
+    clamp; results must match ref (clamp + extrapolation quirks)."""
+    u = jnp.full((H, W), 120.0, jnp.float32)
+    v = jnp.zeros((H, W), jnp.float32)
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+
+def test_beyond_bound_is_clamped_not_garbage(rng):
+    """Displacements beyond D clamp taps to +/-D: with a uniform 20-cell
+    leftward backtrace both taps collapse onto x-7, so the result is the
+    dye sampled 7 columns left (clamped at the edge), faded."""
+    u = jnp.full((H, W), 1200.0, jnp.float32)  # 20 cells/step backtrace
+    v = jnp.zeros((H, W), jnp.float32)
+    dye_np = rng.random((3, H, W), dtype=np.float32)
+    got = advect_pallas.advect_dye(jnp.asarray(dye_np), u, v, DT, 1.2, d=7)
+    assert np.isfinite(np.asarray(got)).all()
+    cols = np.clip(np.arange(W) - 7, 0, W - 1)
+    decay = np.float32(1.0) / (np.float32(1.0) + np.float32(1.2) * np.float32(DT))
+    exp = np.fmin(np.float32(1.0),
+                  np.power(dye_np[:, :, cols], np.float32(1.005)) * decay)
+    np.testing.assert_allclose(np.asarray(got), exp, atol=1e-5)
+
+
+def test_supported_predicate():
+    assert advect_pallas.supported(64, 128, 3, 7)
+    assert not advect_pallas.supported(64, 100, 3, 7)

@@ -1,0 +1,44 @@
+"""FluidApp frame loop: real-dt stepping, frame emission, timing report."""
+
+import numpy as np
+
+from cudafluidsimulation_tpu import FluidConfig
+from cudafluidsimulation_tpu.models.app import FluidApp, orbit_source
+
+
+def test_app_runs_frames_and_reports():
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
+                                    diffusion_iters=2, pressure_iters=2)
+    frames = []
+    logs = []
+    app = FluidApp(cfg, frame_sink=frames.append, fixed_dt=1 / 60,
+                   log=logs.append)
+    report = app.run(max_frames=10)
+    assert app.frames == 10
+    assert len(frames) == 10
+    assert frames[0].shape == (64, 64, 4) and frames[0].dtype == np.uint8
+    assert report.steps == 10
+    assert report.stage_ms["Max frame"] >= report.stage_ms["Min frame"] > 0
+    # the orbiting pressed impulse must inject dye
+    assert any(f[..., :3].max() > 0 for f in frames)
+
+
+def test_orbit_source_tracks_last_position():
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64)
+    src = orbit_source(cfg)
+    p1, l1, pressed = src(0.1)
+    p2, l2, _ = src(0.2)
+    assert pressed
+    assert l2 == p1
+
+
+def test_app_with_native_sink(tmp_path):
+    from cudafluidsimulation_tpu.utils.native_sink import FrameSink
+
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
+                                    diffusion_iters=2, pressure_iters=2)
+    with FrameSink(str(tmp_path), 64, 64) as sink:
+        app = FluidApp(cfg, frame_sink=lambda f: sink.push(f), fixed_dt=1 / 60)
+        app.run(max_frames=5)
+        sink.flush()
+        assert sink.written + sink.dropped == 5
