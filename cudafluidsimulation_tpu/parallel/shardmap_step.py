@@ -1,0 +1,274 @@
+"""Explicit multi-chip step: shard_map + ppermute halo exchange.
+
+The auto-SPMD path (parallel.sharded) lets XLA partition the jnp stencils;
+this module is the hand-laid-out alternative the 8192² config calls for
+(SURVEY.md §5, BASELINE.json config 5): fields row-sharded over the "x" mesh
+axis, every neighbor access an explicit ``exchange_rows`` (1-cell for
+stencils, ``max_displacement`` rows for advection) riding ICI, boundary
+conditions applied only on true domain edges.
+
+Implementation trick: the whole physics pipeline (models.pipelines.make_step)
+is written against an op *namespace*, so this module just provides a
+shard-local implementation of the same op API — advection gathers locally in
+the halo-padded array, Jacobi sweeps exchange-then-sweep — and reuses
+make_step unchanged.  Per-device work can later swap in the pallas kernels.
+"""
+
+from __future__ import annotations
+
+import types
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cudafluidsimulation_tpu.config import FluidConfig
+from cudafluidsimulation_tpu.ops import ref
+from cudafluidsimulation_tpu.parallel.halo import exchange_rows, neighbors_padded
+from cudafluidsimulation_tpu.state import FluidState
+from cudafluidsimulation_tpu.utils.impulse import Impulse
+
+
+def _global_rows(shape, axis_name):
+    """Global (float, int) row coordinates of this shard's cells."""
+    hl, w = shape
+    base = lax.axis_index(axis_name) * hl
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (hl, w), 0) + base
+    return ys_i.astype(jnp.float32), ys_i
+
+
+def _gather_local(field, yi_rel, xi):
+    h, w = field.shape[-2], field.shape[-1]
+    flat = field.reshape(field.shape[:-2] + (h * w,))
+    idx = (yi_rel * w + xi).reshape(-1)
+    out = jnp.take(flat, idx, axis=-1)
+    return out.reshape(field.shape[:-2] + yi_rel.shape)
+
+
+def _bilerp_sharded(field, u, v, dt, h_global, d, axis_name):
+    """Backtrace + bilerp within a d-row halo (displacement bound d, same
+    contract as ops.advect_pallas)."""
+    hl, w = u.shape
+    ys_f, ys_i = _global_rows((hl, w), axis_name)
+    xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
+
+    px = xs_f - dt * u
+    py = ys_f - dt * v
+    x1 = jnp.trunc(px)
+    y1 = jnp.trunc(py)
+    tx = px - x1
+    ty = py - y1
+
+    cx1 = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
+    cx2 = jnp.clip(x1 + 1.0, 0, w - 1).astype(jnp.int32)
+    cy1 = jnp.clip(y1, 0, h_global - 1).astype(jnp.int32)
+    cy2 = jnp.clip(y1 + 1.0, 0, h_global - 1).astype(jnp.int32)
+    # bound taps to the exchanged halo, then express in padded-local rows
+    ly = jax.lax.broadcasted_iota(jnp.int32, (hl, w), 0)
+    ry1 = jnp.clip(cy1 - ys_i, -d, d) + ly + d
+    ry2 = jnp.clip(cy2 - ys_i, -d, d) + ly + d
+
+    fp = exchange_rows(field, d, axis_name, edge="clamp")
+    p00 = _gather_local(fp, ry1, cx1)
+    p01 = _gather_local(fp, ry1, cx2)
+    p10 = _gather_local(fp, ry2, cx1)
+    p11 = _gather_local(fp, ry2, cx2)
+    top = p00 * (1.0 - tx) + p01 * tx
+    bot = p10 * (1.0 - tx) + p11 * tx
+    return top * (1.0 - ty) + bot * ty
+
+
+def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
+    """Shard-local implementation of the op API consumed by make_step."""
+    ns = types.SimpleNamespace()
+
+    def advect_velocity(u, v, dt, decay_rate):
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        u2 = _bilerp_sharded(u, u, v, dt, h_global, d, axis_name) * decay
+        v2 = _bilerp_sharded(v, u, v, dt, h_global, d, axis_name) * decay
+        return u2, v2
+
+    def advect_dye(dye, u, v, dt, decay_rate):
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
+        return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+
+    def curl(u, v):
+        up = exchange_rows(u, 1, axis_name)
+        vp = exchange_rows(v, 1, axis_name)
+        vl, vr, _, _ = neighbors_padded(vp)
+        _, _, ub, ut = neighbors_padded(up)
+        return 0.5 * (vr - vl - ut + ub)
+
+    def vorticity_confinement_cpu(u, v, dt, vorticity):
+        w = curl(u, v)
+        ac = jnp.abs(w)
+        acp = exchange_rows(ac, 1, axis_name)
+        al, ar, ab, at = neighbors_padded(acp)
+        fx = 0.5 * (at - ab)
+        fy = 0.5 * (ar - al)
+        ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
+        s = w * vorticity / ln
+        return u - fx * s * dt, v - fy * s * dt
+
+    def vorticity_confinement_gpu(u, v, dt, vorticity):
+        w = curl(u, v)
+        wp = exchange_rows(w, 1, axis_name)
+        wl, wr, wb, wt = neighbors_padded(wp)
+        fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
+        fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
+        ln = jnp.sqrt(fx * fx + fy * fy) + 1e-3
+        s = w * vorticity / ln
+        return u + fx * s * dt, v + fy * s * dt
+
+    def diffuse(fields, dt, diffusion, iters):
+        alpha = diffusion * diffusion / dt
+        inv_beta = 1.0 / (4.0 + alpha)
+
+        def sweep(x, _):
+            xp = exchange_rows(x, 1, axis_name)
+            l, r, b, t = neighbors_padded(xp)
+            return (l + r + b + t + x * alpha) * inv_beta, None
+
+        out, _ = lax.scan(sweep, fields, None, length=iters)
+        return out
+
+    def divergence(u, v, half):
+        up = exchange_rows(u, 1, axis_name)
+        vp = exchange_rows(v, 1, axis_name)
+        ul, ur, _, _ = neighbors_padded(up)
+        _, _, vb, vt = neighbors_padded(vp)
+        dd = (ur - ul) + (vt - vb)
+        return 0.5 * dd if half else dd
+
+    def pressure_solve(div, iters):
+        def sweep(p, _):
+            pp = exchange_rows(p, 1, axis_name)
+            l, r, b, t = neighbors_padded(pp)
+            return (l + r + b + t - div) * 0.25, None
+
+        p0 = jnp.zeros_like(div)
+        p, _ = lax.scan(sweep, p0, None, length=iters)
+        return p
+
+    def project(u, v, p):
+        pp = exchange_rows(p, 1, axis_name)
+        pl, pr, pb, pt = neighbors_padded(pp)
+        return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
+
+    def _splat(kind):
+        def splat(u, v, dye, cur, last, dt, force_scale, radius, color):
+            hl, w = u.shape
+            ys_f, _ = _global_rows((hl, w), axis_name)
+            xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
+            if kind == "cpu":
+                d2u = (xs_f - last[0]) ** 2 + (ys_f - last[1]) ** 2
+                eu = jnp.exp(-d2u / radius)
+                u2 = u + (last[0] - cur[0]) * dt * force_scale * eu
+                v2 = v + (last[1] - cur[1]) * dt * force_scale * eu
+                d2c = (xs_f - cur[0]) ** 2 + (ys_f - cur[1]) ** 2
+                ec = jnp.exp(-d2c / radius)
+                dye2 = dye + color[:, None, None] * ec[None]
+            else:
+                d2 = (xs_f - last[0]) ** 2 + (ys_f - last[1]) ** 2
+                e = jnp.exp(-d2 / radius)
+                u2 = u + (last[0] - cur[0]) * force_scale * dt * e
+                v2 = v + (last[1] - cur[1]) * force_scale * dt * e
+                dye2 = dye + color[:, None, None] * e[None]
+            return u2, v2, dye2
+
+        return splat
+
+    def boundary_strip(u, v, dye, rows):
+        hl = u.shape[0]
+        _, ys_i = _global_rows(u.shape, axis_name)
+        mask = (ys_i >= rows).astype(u.dtype)
+        return u * mask, v * mask, dye * mask[None]
+
+    def apply_bloom(rgba, pos, intense, radius):
+        hl, w = rgba.shape[-2], rgba.shape[-1]
+        ys_f, _ = _global_rows((hl, w), axis_name)
+        xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
+        d2 = (xs_f - pos[0]) ** 2 + (ys_f - pos[1]) ** 2
+        e = intense * jnp.exp(-(d2 + 1.0) / (radius * radius))
+        rgb = rgba[:3].astype(jnp.float32)
+        mx = jnp.max(rgb, axis=0)
+        rgb = jnp.minimum(255.0, rgb + mx[None] * e[None])
+        return jnp.concatenate([rgb.astype(jnp.uint8), rgba[3:]], axis=0)
+
+    ns.bilerp = ref.bilerp  # unused by the pipeline directly
+    ns.advect_velocity = advect_velocity
+    ns.advect_dye = advect_dye
+    ns.curl = curl
+    ns.vorticity_confinement_cpu = vorticity_confinement_cpu
+    ns.vorticity_confinement_gpu = vorticity_confinement_gpu
+    ns.diffuse = diffuse
+    ns.divergence = divergence
+    ns.pressure_solve = pressure_solve
+    ns.project = project
+    ns.splat_cpu = _splat("cpu")
+    ns.splat_gpu = _splat("gpu")
+    ns.cycle_color = ref.cycle_color
+    ns.boundary_strip = boundary_strip
+    ns.pack_rgba = ref.pack_rgba
+    ns.apply_bloom = apply_bloom
+    return ns
+
+
+def _state_spec(axis_name: str) -> FluidState:
+    plane = P(axis_name, None)
+    return FluidState(
+        u=plane, v=plane, dye=P(None, axis_name, None), pressure=plane,
+        t=P(), press_time=P(), time_since_press=P(), mouse=P(None), step=P(),
+    )
+
+
+def make_shardmap_step(config: FluidConfig, mesh: Mesh, axis_name: str = "x"):
+    """jit(shard_map(step)): one explicit-halo-exchange step over the mesh."""
+    from jax import shard_map
+
+    from cudafluidsimulation_tpu.models.pipelines import make_step
+
+    n = mesh.shape[axis_name]
+    if config.ny % n != 0:
+        raise ValueError(f"ny={config.ny} not divisible by mesh axis {n}")
+    hl = config.ny // n
+    d = min(config.max_displacement, hl)
+    ops = sharded_ops(axis_name, config.ny, d)
+    step = make_step(config, ops)
+
+    ss = _state_spec(axis_name)
+    imp_spec = Impulse(pos=P(None), last_pos=P(None), pressed=P(), dt=P())
+    sharded = shard_map(
+        step, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss
+    )
+    return jax.jit(sharded)
+
+
+def make_shardmap_rollout(config: FluidConfig, mesh: Mesh, axis_name: str = "x"):
+    """jit(shard_map(scan(step))): whole rollout with the scan inside the
+    shard_map so halo exchanges ride ICI with no per-step dispatch."""
+    from jax import shard_map
+
+    from cudafluidsimulation_tpu.models.pipelines import make_step
+
+    n = mesh.shape[axis_name]
+    hl = config.ny // n
+    d = min(config.max_displacement, hl)
+    ops = sharded_ops(axis_name, config.ny, d)
+    step = make_step(config, ops)
+
+    def run(state, impulses):
+        final, _ = lax.scan(lambda s, i: (step(s, i), None), state, impulses)
+        return final
+
+    ss = _state_spec(axis_name)
+    imp_spec = Impulse(pos=P(None, None), last_pos=P(None, None),
+                       pressed=P(None), dt=P(None))
+    sharded = shard_map(
+        run, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss
+    )
+    return jax.jit(sharded)
