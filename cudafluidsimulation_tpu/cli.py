@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", action="store_true", help="per-stage timing report")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the rollout")
+    p.add_argument("--view", choices=["none", "term"], default="none",
+                   help="live view: 'term' renders frames as ANSI half-blocks")
     return p
 
 
@@ -98,6 +100,18 @@ def main(argv=None) -> int:
             )
     else:
         state = sim.init()
+
+    if args.view == "term":
+        # interactive-style frame loop with live ANSI rendering
+        from cudafluidsimulation_tpu.models.app import FluidApp, orbit_source
+        from cudafluidsimulation_tpu.utils.term_view import TermViewer
+
+        app = FluidApp(cfg, input_source=orbit_source(cfg),
+                       frame_sink=TermViewer(), fixed_dt=args.dt)
+        app.state = state
+        report = app.run(max_frames=args.steps)
+        print(report.format())
+        return 0
 
     import jax
 

@@ -220,9 +220,8 @@ def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
     if squeeze:
         fields = fields[None]
     c, h, w = fields.shape
-    alpha = jnp.asarray(
-        jnp.float32(diffusion) * jnp.float32(diffusion) / jnp.asarray(dt, jnp.float32)
-    ).reshape(1, 1)
+    kf = jnp.asarray(diffusion, jnp.float32)
+    alpha = (kf * kf / jnp.asarray(dt, jnp.float32)).reshape(1, 1)
     f = fields
     for k, r, hd in _burst_schedule(iters, burst, h, w, block_rows):
         mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)

@@ -1,0 +1,130 @@
+"""Full benchmark suite over the BASELINE.json configs.
+
+Prints one JSON line per config (bench.py remains the single headline
+metric).  Run on TPU; falls back to tiny smoke sizes elsewhere.
+
+  1. 256² cpu-parity headless, 100 steps, scripted center splat
+  2. 1024² single-chip, 40 Jacobi iters, 1000-step jit scan
+  3. 2048² with on-device RGBA render each step
+  4. vmapped ensemble: 64 x 512² viscosity sweep
+  5. 8192² sharded: shard_map rollout (dry-run scale if <8 devices)
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, reps=3):
+    r = fn(*args)
+    jax.tree.map(lambda a: a.block_until_ready(), r)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.tree.map(lambda a: a.block_until_ready(), r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def emit(name, steps, sec, cells, extra=None):
+    rec = {
+        "config": name,
+        "steps_per_sec": round(steps / sec, 2),
+        "gcell_per_sec": round(steps / sec * cells / 1e9, 4),
+        "vs_ref_gpu_gcell": round((steps / sec * cells / 1e9) / 0.056, 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    from cudafluidsimulation_tpu import FluidConfig, Simulation, init_state
+    from cudafluidsimulation_tpu.models.ensemble import (
+        batched_impulse,
+        batched_state,
+        make_diffusion_sweep_run,
+    )
+    from cudafluidsimulation_tpu.models.simulation import run_scan_collect
+    from cudafluidsimulation_tpu.utils.impulse import constant_impulse, orbit_impulse
+
+    on_tpu = jax.default_backend() == "tpu"
+    scale = 1 if on_tpu else 4  # shrink sizes off-TPU
+
+    # 1. cpu-parity 256², 100 steps, center splat
+    n = 256 // scale
+    cfg = FluidConfig.cpu_reference(nx=n, ny=n, backend="auto")
+    sim = Simulation(cfg)
+    imp = constant_impulse(100, cfg.dt, pos=(n / 2, n / 2), last_pos=(n / 2 - 3, n / 2 - 2))
+    sec = timed(sim._jit_run, sim.init(), imp)
+    emit("cpu-parity 256^2 x100 center-splat", 100, sec, n * n)
+
+    # 2. 1024² single chip, 40 iters, 1000 steps
+    n = 1024 // scale
+    steps = 1000 if on_tpu else 50
+    cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=40, backend="auto")
+    sim = Simulation(cfg)
+    imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+    sec = timed(sim._jit_run, sim.init(), imp, reps=1 if on_tpu else 3)
+    emit(f"single-chip {n}^2 x{steps} (40 pressure iters)", steps, sec, n * n)
+
+    # 3. 2048² with per-step device-side render
+    n = 2048 // scale
+    steps = 100 if on_tpu else 10
+    cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=40, backend="auto")
+    sim = Simulation(cfg)
+    imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+    import functools
+
+    fn = jax.jit(functools.partial(
+        run_scan_collect, sim.step_fn, sim.render_fn, every=1))
+    sec = timed(lambda s, i: fn(s, i)[0], sim.init(), imp, reps=1)
+    emit(f"render-pipeline {n}^2 x{steps} (RGBA every step)", steps, sec, n * n)
+
+    # 4. ensemble: 64 x 512² viscosity sweep
+    b = 64 if on_tpu else 4
+    n = 512 // scale
+    steps = 100 if on_tpu else 10
+    cfg = FluidConfig.gpu_reference(nx=n, ny=n, backend="auto")
+    run = make_diffusion_sweep_run(cfg)
+    states = batched_state(cfg, b)
+    imp = batched_impulse(
+        orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8), b,
+        jitter_pos=np.random.default_rng(0).uniform(-8, 8, (b, 2)),
+    )
+    diffs = jnp.linspace(0.2, 1.5, b)
+    sec = timed(run, diffs, states, imp, reps=1)
+    emit(f"ensemble {b} x {n}^2 x{steps} viscosity sweep", steps, sec,
+         b * n * n)
+
+    # 5. sharded 8192² (needs >= 8 devices; else report dry-run scale)
+    ndev = len(jax.devices())
+    if ndev >= 8 and on_tpu:
+        from cudafluidsimulation_tpu.parallel.sharded import make_mesh, shard_state
+        from cudafluidsimulation_tpu.parallel.shardmap_step import (
+            make_shardmap_rollout,
+        )
+
+        n = 8192
+        steps = 20
+        cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
+                                        backend="ref")
+        mesh = make_mesh(8, ens=1)
+        run = make_shardmap_rollout(cfg, mesh)
+        st = shard_state(init_state(cfg), mesh)
+        imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+        sec = timed(run, st, imp, reps=1)
+        emit(f"sharded {n}^2 x{steps} over 8 chips (100 pressure iters)",
+             steps, sec, n * n)
+    else:
+        print(json.dumps({"config": "sharded 8192^2",
+                          "skipped": f"needs 8 TPU devices, have {ndev}"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
