@@ -50,7 +50,7 @@ def _interpret() -> bool:
 
 
 def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out, ext_s, rot_s, acc,
-                   *, mode, decay_rate, h, w, r, hd, d, c):
+                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, c):
     i = pl.program_id(0)
     dt = dt_ref[0, 0]
     y0 = i * r
@@ -76,10 +76,12 @@ def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out, ext_s, rot_s, acc,
     tx = px - x1
     ty = py - y1
 
-    cx1 = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
-    cx2 = jnp.clip(x1 + 1.0, 0, w - 1).astype(jnp.int32)
-    cy1 = jnp.clip(y1, 0, h - 1).astype(jnp.int32)
-    cy2 = jnp.clip(y1 + 1.0, 0, h - 1).astype(jnp.int32)
+    # clamp taps to the PHYSICAL domain (pad cells beyond it are therefore
+    # never selected by the offset masks and may hold arbitrary finite junk)
+    cx1 = jnp.clip(x1, 0, w_phys - 1).astype(jnp.int32)
+    cx2 = jnp.clip(x1 + 1.0, 0, w_phys - 1).astype(jnp.int32)
+    cy1 = jnp.clip(y1, 0, h_phys - 1).astype(jnp.int32)
+    cy2 = jnp.clip(y1 + 1.0, 0, h_phys - 1).astype(jnp.int32)
 
     dy1 = jnp.clip(cy1 - ys_i, -d, d)
     dy2 = jnp.clip(cy2 - ys_i, -d, d)
@@ -151,8 +153,24 @@ def _pick_rows(h: int, w: int, c: int, hd: int) -> int:
     return 0
 
 
+def _pad_geometry(h: int, w: int, c: int, hd: int):
+    """(h_pad, w_pad, r): zero-padded geometry for arbitrary grids.  Unlike
+    the Jacobi mirror padding this needs no re-fill invariant — padded cells
+    are never tap targets (taps clamp to the physical domain), so zeros
+    suffice and any pad amount works."""
+    w_pad = -(-w // 128) * 128
+    h_try = -(-h // hd) * hd
+    while True:
+        r = _pick_rows(h_try, w_pad, c, hd)
+        if r >= hd:
+            return h_try, w_pad, r
+        h_try += hd
+        if h_try > 4 * h + 8 * hd:
+            raise ValueError(f"no viable advect geometry for {h}x{w}")
+
+
 def supported(h: int, w: int, c: int, d: int) -> bool:
-    return w % 128 == 0 and _pick_rows(h, w, c, _halo(d)) >= _SUBLANE
+    return h >= _SUBLANE and w >= 64
 
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d"))
@@ -163,29 +181,36 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290)."""
     c, h, w = fields.shape
     hd = _halo(d)
-    r = _pick_rows(h, w, c, hd)
-    n_strips = h // r
-    hblk = h // hd
+    hp, wp, r = _pad_geometry(h, w, c, hd)
+    if (hp, wp) != (h, w):
+        pad = [(0, hp - h), (0, wp - w)]
+        fields_in = jnp.pad(fields, [(0, 0)] + pad)
+        u_in = jnp.pad(u, pad)  # zero velocity in pads -> benign windows
+        v_in = jnp.pad(v, pad)
+    else:
+        fields_in, u_in, v_in = fields, u, v
+    n_strips = hp // r
+    hblk = hp // hd
 
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     vm = pltpu.VMEM
-    plane = pl.BlockSpec((1 * r, w), lambda i: (i, 0), memory_space=vm)
-    mid = pl.BlockSpec((c, r, w), lambda i: (0, i, 0), memory_space=vm)
-    lo = pl.BlockSpec((c, hd, w),
+    plane = pl.BlockSpec((1 * r, wp), lambda i: (i, 0), memory_space=vm)
+    mid = pl.BlockSpec((c, r, wp), lambda i: (0, i, 0), memory_space=vm)
+    lo = pl.BlockSpec((c, hd, wp),
                       lambda i: (0, jnp.maximum(i * (r // hd) - 1, 0), 0),
                       memory_space=vm)
-    hi = pl.BlockSpec((c, hd, w),
+    hi = pl.BlockSpec((c, hd, wp),
                       lambda i: (0, jnp.minimum((i + 1) * (r // hd), hblk - 1), 0),
                       memory_space=vm)
 
     kern = functools.partial(
         _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=h, w=w, r=r, hd=hd, d=d, c=c,
+        h=hp, w=wp, h_phys=h, w_phys=w, r=r, hd=hd, d=d, c=c,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         grid=(n_strips,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -193,12 +218,13 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
         ],
         out_specs=mid,
         scratch_shapes=[
-            pltpu.VMEM((c, r + 2 * hd, w), jnp.float32),
-            pltpu.VMEM((c, r + 2 * hd, w), jnp.float32),
-            pltpu.VMEM((c, r, w), jnp.float32),
+            pltpu.VMEM((c, r + 2 * hd, wp), jnp.float32),
+            pltpu.VMEM((c, r + 2 * hd, wp), jnp.float32),
+            pltpu.VMEM((c, r, wp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(dt_arr, u, v, fields, fields, fields)
+    )(dt_arr, u_in, v_in, fields_in, fields_in, fields_in)
+    return out[:, :h, :w]
 
 
 def advect_velocity(u, v, dt, decay_rate, d: int = 15):

@@ -154,33 +154,52 @@ def _pick_block_rows(h: int, hd: int, w: int, requested: int) -> int:
     return 0
 
 
+def _pad_geometry(h: int, w: int, hd: int, requested: int):
+    """(h_pad, w_pad, r): the smallest mirror-padded geometry with a viable
+    strip layout.  Odd grids (e.g. the reference's 960x540) are extended with
+    >= hd mirrored rows/columns; the even reflection is the exact Neumann
+    ghost for the clamped stencil, and the padding is re-mirrored between
+    bursts, so sweeps on the padded domain restricted to the physical region
+    equal sweeps on the physical domain (same argument as _edge_fill)."""
+    w_pad = w if (w % 128 == 0 and w >= 128) else -(-(w + hd) // 128) * 128
+    h_try = h
+    while True:
+        r = _pick_block_rows(h_try, hd, w_pad, requested)
+        if r >= hd and (h_try == h or h_try - h >= hd):
+            return h_try, w_pad, r
+        h_try = -(-(h_try + 1) // hd) * hd  # next multiple of hd
+        if h_try > 4 * h + 4 * hd:  # unreachable in practice
+            raise ValueError(f"no viable pallas Jacobi geometry for {h}x{w}")
+
+
+def _mirror_pad(x: jnp.ndarray, h: int, w: int, h_pad: int, w_pad: int):
+    if h_pad > h:
+        x = jnp.concatenate([x, jnp.flip(x[..., h - (h_pad - h):, :], axis=-2)],
+                            axis=-2)
+    if w_pad > w:
+        x = jnp.concatenate([x, jnp.flip(x[..., :, w - (w_pad - w):], axis=-1)],
+                            axis=-1)
+    return x
+
+
 def supported(config: FluidConfig) -> bool:
+    # mirror padding must not exceed the field itself: w pads to a multiple
+    # of 128 (lanes), h to a multiple of the halo depth
     h, w = config.shape
-    if w % 128 != 0:
-        return False
-    return _pick_block_rows(h, _SUBLANE, w, config.block_rows) >= _SUBLANE
+    return h >= 2 * _SUBLANE and w >= 64
 
 
 def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
     """Split ``iters`` sweeps into bursts of at most ``burst``, each with a
-    viable (strip, halo) geometry.  Returns [(k, r, hd), ...]."""
+    viable (possibly mirror-padded) geometry.
+    Returns [(k, r, hd, h_pad, w_pad), ...]."""
     out = []
     left = iters
     while left > 0:
         k = min(burst, left)
-        r = 0
-        while k >= 1:
-            hd = _halo_depth(k)
-            r = _pick_block_rows(h, hd, w, requested)
-            if r >= hd:
-                break
-            k -= 1
-        if r == 0 or k < 1:
-            raise ValueError(
-                f"no viable pallas Jacobi geometry for grid {h}x{w}; "
-                "use the ref backend for this size"
-            )
-        out.append((k, r, _halo_depth(k)))
+        hd = _halo_depth(k)
+        h_pad, w_pad, r = _pad_geometry(h, w, hd, requested)
+        out.append((k, r, hd, h_pad, w_pad))
         left -= k
     return out
 
@@ -194,18 +213,20 @@ def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256, burst
         return jnp.zeros_like(div)
     p = jnp.zeros((1, h, w), jnp.float32)
     d = div[None]
-    for k, r, hd in _burst_schedule(iters, burst, h, w, block_rows):
-        mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
+        pi = _mirror_pad(p, h, w, hp, wp)
+        di = _mirror_pad(d, h, w, hp, wp)
+        mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
         kern = functools.partial(_pressure_kernel, k=k, hd=hd, n_strips=n_strips)
         p = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
             grid=(1, n_strips),
             in_specs=[mid, lo, hi, mid, lo, hi],
-            out_specs=pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+            out_specs=pl.BlockSpec((1, r, wp), lambda c, i: (c, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
-        )(p, p, p, d, d, d)
+        )(pi, pi, pi, di, di, di)[:, :h, :w]
     return p[0]
 
 
@@ -223,19 +244,20 @@ def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
     kf = jnp.asarray(diffusion, jnp.float32)
     alpha = (kf * kf / jnp.asarray(dt, jnp.float32)).reshape(1, 1)
     f = fields
-    for k, r, hd in _burst_schedule(iters, burst, h, w, block_rows):
-        mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
+        fi = _mirror_pad(f, h, w, hp, wp)
+        mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
         kern = functools.partial(_diffuse_kernel, k=k, hd=hd, n_strips=n_strips)
         f = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
             grid=(c, n_strips),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
                 mid, lo, hi,
             ],
-            out_specs=pl.BlockSpec((1, r, w), lambda ci, i: (ci, i, 0),
+            out_specs=pl.BlockSpec((1, r, wp), lambda ci, i: (ci, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
-        )(alpha, f, f, f)
+        )(alpha, fi, fi, fi)[:, :h, :w]
     return f[0] if squeeze else f

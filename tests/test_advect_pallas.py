@@ -78,4 +78,17 @@ def test_beyond_bound_is_clamped_not_garbage(rng):
 
 def test_supported_predicate():
     assert advect_pallas.supported(64, 128, 3, 7)
-    assert not advect_pallas.supported(64, 100, 3, 7)
+    assert advect_pallas.supported(64, 100, 3, 7)  # zero-padded geometry
+    assert advect_pallas.supported(540, 960, 3, 15)
+    assert not advect_pallas.supported(64, 32, 3, 7)
+
+
+def test_odd_grid_advection(rng):
+    """Non-lane-aligned grid goes through zero padding and matches ref."""
+    h, w = 100, 200
+    u = jnp.asarray(np.clip(rng.standard_normal((h, w)) * 150, -800, 800).astype(np.float32))
+    v = jnp.asarray(np.clip(rng.standard_normal((h, w)) * 150, -800, 800).astype(np.float32))
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)

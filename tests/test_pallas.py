@@ -47,10 +47,19 @@ def test_zero_iters(rng):
 def test_supported_predicate():
     assert jacobi_pallas.supported(FluidConfig.gpu_reference(nx=2048, ny=2048))
     assert jacobi_pallas.supported(FluidConfig.gpu_reference(nx=128, ny=48))
-    # reference GPU default grid: 540 rows has no multiple-of-8 divisor
-    assert not jacobi_pallas.supported(FluidConfig.gpu_reference(nx=960, ny=540))
-    # non-lane-aligned width
-    assert not jacobi_pallas.supported(FluidConfig.gpu_reference(nx=100, ny=64))
+    # odd grids (incl. the reference GPU 960x540) go through mirror padding
+    assert jacobi_pallas.supported(FluidConfig.gpu_reference(nx=960, ny=540))
+    assert jacobi_pallas.supported(FluidConfig.gpu_reference(nx=100, ny=64))
+    # too small for the lane-padding scheme
+    assert not jacobi_pallas.supported(FluidConfig.gpu_reference(nx=32, ny=64))
+
+
+@pytest.mark.parametrize("shape", [(540, 960), (100, 200)])
+def test_pressure_odd_grids_via_mirror_padding(rng, shape):
+    div = rng.standard_normal(shape).astype(np.float32)
+    exp = ref.pressure_solve(jnp.asarray(div), 30)
+    got = jacobi_pallas.pressure_solve(jnp.asarray(div), 30, block_rows=128, burst=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=5e-6)
 
 
 def test_backend_override_wiring():
@@ -58,8 +67,8 @@ def test_backend_override_wiring():
     ops = get_ops(cfg)
     assert ops.pressure_solve is not ref.pressure_solve
     assert ops.diffuse is not ref.diffuse
-    # unsupported grid falls back to ref
-    cfg2 = FluidConfig.gpu_reference(nx=960, ny=540, backend="pallas")
+    # too-small grid falls back to ref
+    cfg2 = FluidConfig.gpu_reference(nx=32, ny=24, backend="pallas")
     ops2 = get_ops(cfg2)
     assert ops2.pressure_solve is ref.pressure_solve
 
