@@ -74,13 +74,20 @@ def _step_with_diffusion(config, ops, diffusion):
 
     patched = types.SimpleNamespace(**vars(ops))
     base_diffuse = ops.diffuse
+    base_multi = ops.diffuse_multi
 
     def diffuse(fields, dt, k, iters):
         if fields.shape[0] == 2:  # velocity planes: swept coefficient
             return base_diffuse(fields, dt, diffusion, iters)
         return base_diffuse(fields, dt, k, iters)
 
+    def diffuse_multi(fields, dt, coeffs, iters):
+        # channels 0-1 are velocity (see pipelines fused-diffusion stage)
+        coeffs = jnp.asarray(coeffs, jnp.float32).at[:2].set(diffusion)
+        return base_multi(fields, dt, coeffs, iters)
+
     patched.diffuse = diffuse
+    patched.diffuse_multi = diffuse_multi
     from cudafluidsimulation_tpu.models.pipelines import make_step
 
     return make_step(config, patched)

@@ -50,16 +50,27 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
             u, v = ops.vorticity_confinement_gpu(u, v, dt, config.vorticity)
 
         # -- diffusion (velocity always; dye only where the reference's is
-        #    observable — the CPU path's is a buffered-out no-op)
+        #    observable — the CPU path's is a buffered-out no-op).  When both
+        #    diffuse, they share one fused 5-channel pass with per-channel
+        #    coefficients (the reference used 2 CUDA streams for the same
+        #    concurrency, GPUFluidSim.cu:636-639).
         if config.diffusion_iters > 0:
-            uv = ops.diffuse(
-                jnp.stack([u, v]), dt, config.velocity_diffusion, config.diffusion_iters
-            )
-            u, v = uv[0], uv[1]
             if config.color_diffusion_enabled:
-                dye = ops.diffuse(
-                    dye, dt, config.color_diffusion, config.diffusion_iters
+                coeffs = jnp.asarray(
+                    [config.velocity_diffusion] * 2 + [config.color_diffusion] * 3,
+                    jnp.float32,
                 )
+                all5 = ops.diffuse_multi(
+                    jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
+                    config.diffusion_iters,
+                )
+                u, v, dye = all5[0], all5[1], all5[2:]
+            else:
+                uv = ops.diffuse(
+                    jnp.stack([u, v]), dt, config.velocity_diffusion,
+                    config.diffusion_iters,
+                )
+                u, v = uv[0], uv[1]
 
         # -- impulse splat (masked)
         pressed = imp.pressed

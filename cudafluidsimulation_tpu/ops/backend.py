@@ -22,6 +22,7 @@ _OP_NAMES = [
     "vorticity_confinement_cpu",
     "vorticity_confinement_gpu",
     "diffuse",
+    "diffuse_multi",
     "divergence",
     "pressure_solve",
     "project",

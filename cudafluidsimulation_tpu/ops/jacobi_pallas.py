@@ -97,7 +97,7 @@ def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_stri
 
 def _diffuse_kernel(alpha_ref, f_mid, f_lo, f_hi, out, *, k, hd, n_strips):
     i = pl.program_id(1)
-    alpha = alpha_ref[0, 0]
+    alpha = alpha_ref[pl.program_id(0), 0]  # per-channel coefficient
     inv_beta = 1.0 / (4.0 + alpha)
     fe = jnp.concatenate([f_lo[0], f_mid[0], f_hi[0]], axis=0)
     fe = _edge_fill(fe, i, n_strips, hd)
@@ -242,7 +242,16 @@ def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
         fields = fields[None]
     c, h, w = fields.shape
     kf = jnp.asarray(diffusion, jnp.float32)
-    alpha = (kf * kf / jnp.asarray(dt, jnp.float32)).reshape(1, 1)
+    alpha = jnp.broadcast_to(
+        (kf * kf / jnp.asarray(dt, jnp.float32)).reshape(1, 1), (c, 1)
+    )
+    f = _diffuse_bursts(fields, alpha, iters, block_rows, burst)
+    return f[0] if squeeze else f
+
+
+def _diffuse_bursts(fields, alpha, iters, block_rows, burst):
+    """Shared burst loop; ``alpha`` is (C, 1) — per-channel Jacobi alpha."""
+    c, h, w = fields.shape
     f = fields
     for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
         fi = _mirror_pad(f, h, w, hp, wp)
@@ -253,11 +262,25 @@ def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
             out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
             grid=(c, n_strips),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((c, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
                 mid, lo, hi,
             ],
             out_specs=pl.BlockSpec((1, r, wp), lambda ci, i: (ci, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
         )(alpha, fi, fi, fi)[:, :h, :w]
-    return f[0] if squeeze else f
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))
+def diffuse_multi(fields: jnp.ndarray, dt, coeffs, iters: int, *,
+                  block_rows: int = 256, burst: int = 8):
+    """Per-channel-coefficient Jacobi diffusion of (C, H, W) fields in one
+    fused pass (velocity + dye together; each channel-program reads its own
+    alpha from SMEM)."""
+    if iters == 0:
+        return fields
+    c = fields.shape[0]
+    kf = jnp.asarray(coeffs, jnp.float32).reshape(c, 1)
+    alpha = kf * kf / jnp.asarray(dt, jnp.float32)
+    return _diffuse_bursts(fields, alpha, iters, block_rows, burst)

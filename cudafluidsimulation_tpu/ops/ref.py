@@ -177,6 +177,23 @@ def diffuse(fields: Array, dt, diffusion, iters: int) -> Array:
     return out
 
 
+def diffuse_multi(fields: Array, dt, coeffs, iters: int) -> Array:
+    """Jacobi diffusion of (C, H, W) fields with a per-channel coefficient —
+    lets velocity (2ch) and dye (3ch) diffuse in ONE fused pass even when
+    their coefficients differ (vDiffusion vs cDiffusion, GPUFluidSim.cu:52,55).
+    """
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    alpha = (coeffs * coeffs / dt)[:, None, None]
+    inv_beta = 1.0 / (4.0 + alpha)
+
+    def sweep(x, _):
+        l, r, b, t = neighbors(x)
+        return (l + r + b + t + x * alpha) * inv_beta, None
+
+    out, _ = jax.lax.scan(sweep, fields, None, length=iters)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Pressure: divergence -> Jacobi solve -> gradient subtraction
 # ---------------------------------------------------------------------------

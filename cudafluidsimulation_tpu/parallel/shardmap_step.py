@@ -124,8 +124,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
         s = w * vorticity / ln
         return u + fx * s * dt, v + fy * s * dt
 
-    def diffuse(fields, dt, diffusion, iters):
-        alpha = diffusion * diffusion / dt
+    def _jacobi(fields, alpha, iters):
         inv_beta = 1.0 / (4.0 + alpha)
 
         def sweep(x, _):
@@ -135,6 +134,13 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
 
         out, _ = lax.scan(sweep, fields, None, length=iters)
         return out
+
+    def diffuse(fields, dt, diffusion, iters):
+        return _jacobi(fields, diffusion * diffusion / dt, iters)
+
+    def diffuse_multi(fields, dt, coeffs, iters):
+        coeffs = jnp.asarray(coeffs, jnp.float32)
+        return _jacobi(fields, (coeffs * coeffs / dt)[:, None, None], iters)
 
     def divergence(u, v, half):
         up = exchange_rows(u, 1, axis_name)
@@ -206,6 +212,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
     ns.vorticity_confinement_cpu = vorticity_confinement_cpu
     ns.vorticity_confinement_gpu = vorticity_confinement_gpu
     ns.diffuse = diffuse
+    ns.diffuse_multi = diffuse_multi
     ns.divergence = divergence
     ns.pressure_solve = pressure_solve
     ns.project = project
