@@ -49,16 +49,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out, ext_s, rot_s, acc,
+def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out,
                    *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, c):
     i = pl.program_id(0)
     dt = dt_ref[0, 0]
     y0 = i * r
+    he = r + 2 * hd
 
-    # assemble the haloed strip in scratch (refs allow the dynamic row reads)
-    ext_s[:, :hd, :] = fl[:]
-    ext_s[:, hd : hd + r, :] = fm[:]
-    ext_s[:, hd + r :, :] = fh[:]
+    ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
 
     ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0) + y0
     xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
@@ -88,48 +86,43 @@ def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out, ext_s, rot_s, acc,
     dx1 = jnp.clip(cx1 - xs_i, -d, d)
     dx2 = jnp.clip(cx2 - xs_i, -d, d)
 
-    # per-strip active offset windows (scalars)
+    # per-strip active offset windows (scalars); both loops below run
+    # EXACTLY the realized window — dynamic trip counts, dynamic roll
+    # shifts, no unrolled guard blocks
     dylo = jnp.minimum(jnp.min(dy1), jnp.min(dy2))
     dyhi = jnp.maximum(jnp.max(dy1), jnp.max(dy2))
     dxlo = jnp.minimum(jnp.min(dx1), jnp.min(dx2))
     dxhi = jnp.maximum(jnp.max(dx1), jnp.max(dx2))
-    qlo = jnp.floor_divide(dylo, _SUBLANE)
-    qhi = jnp.floor_divide(dyhi, _SUBLANE)
 
-    acc[...] = jnp.zeros((c, r, w), jnp.float32)
+    def dy_body(dy, acc):
+        wy = (
+            jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+            + jnp.where(dy2 == dy, ty, 0.0)
+        )
+        # rows y+dy of the strip: roll rows by -dy, slice the core.
+        # |dy| <= d <= hd so selected rows never wrap.
+        core = pltpu.roll(ext, jnp.mod(he - dy, he), axis=1)[:, hd : hd + r, :]
 
-    for dx in range(-d, d + 1):
-        @pl.when(jnp.logical_and(dx >= dxlo, dx <= dxhi))
-        def _(dx=dx):
+        def dx_body(dx, acc):
             wx = (
                 jnp.where(dx1 == dx, 1.0 - tx, 0.0)
                 + jnp.where(dx2 == dx, tx, 0.0)
             )
-            rot_s[...] = pltpu.roll(ext_s[...], (-dx) % w, axis=2)
+            rx = pltpu.roll(core, jnp.mod(w - dx, w), axis=2)
+            return acc + (wx * wy)[None] * rx
 
-            def q_body(q, carry):
-                start = pl.multiple_of(hd + _SUBLANE * q, _SUBLANE)
-                chunk = rot_s[:, pl.ds(start, r + _SUBLANE), :]
-                for s in range(_SUBLANE):
-                    dy = _SUBLANE * q + s
-                    @pl.when(jnp.logical_and(dy >= dylo, dy <= dyhi))
-                    def _(dy=dy, s=s):
-                        wy = (
-                            jnp.where(dy1 == dy, 1.0 - ty, 0.0)
-                            + jnp.where(dy2 == dy, ty, 0.0)
-                        )
-                        acc[...] = acc[...] + (wx * wy)[None] * chunk[:, s : s + r, :]
-                return carry
+        return jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, acc)
 
-            jax.lax.fori_loop(qlo, qhi + 1, q_body, 0)
+    acc = jax.lax.fori_loop(
+        dylo, dyhi + 1, dy_body, jnp.zeros((c, r, w), jnp.float32)
+    )
 
     decay = 1.0 / (1.0 + decay_rate * dt)
-    res = acc[...]
     if mode == "dye":
         # fmin: C fminf(1, NaN) -> 1.0 (see ops.ref.advect_dye)
-        out[...] = jnp.fmin(1.0, jnp.power(res, 1.005) * decay)
+        out[...] = jnp.fmin(1.0, jnp.power(acc, 1.005) * decay)
     else:
-        out[...] = res * decay
+        out[...] = acc * decay
 
 
 def _halo(d: int) -> int:
@@ -217,11 +210,6 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
             plane, plane, mid, lo, hi,
         ],
         out_specs=mid,
-        scratch_shapes=[
-            pltpu.VMEM((c, r + 2 * hd, wp), jnp.float32),
-            pltpu.VMEM((c, r + 2 * hd, wp), jnp.float32),
-            pltpu.VMEM((c, r, wp), jnp.float32),
-        ],
         interpret=_interpret(),
     )(dt_arr, u_in, v_in, fields_in, fields_in, fields_in)
     return out[:, :h, :w]
