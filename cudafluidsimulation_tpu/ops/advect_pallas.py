@@ -103,15 +103,20 @@ def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out,
         # |dy| <= d <= hd so selected rows never wrap.
         core = pltpu.roll(ext, jnp.mod(he - dy, he), axis=1)[:, hd : hd + r, :]
 
-        def dx_body(dx, acc):
+        def dx_body(dx, carry):
+            acc, rcur = carry
             wx = (
                 jnp.where(dx1 == dx, 1.0 - tx, 0.0)
                 + jnp.where(dx2 == dx, tx, 0.0)
             )
-            rx = pltpu.roll(core, jnp.mod(w - dx, w), axis=2)
-            return acc + (wx * wy)[None] * rx
+            acc = acc + (wx * wy)[None] * rcur
+            # advance to the next offset with a cheap static single-lane
+            # shift instead of a fresh arbitrary dynamic rotate
+            return acc, pltpu.roll(rcur, w - 1, axis=2)
 
-        return jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, acc)
+        r0 = pltpu.roll(core, jnp.mod(w - dxlo, w), axis=2)
+        acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
+        return acc
 
     acc = jax.lax.fori_loop(
         dylo, dyhi + 1, dy_body, jnp.zeros((c, r, w), jnp.float32)
