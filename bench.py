@@ -25,8 +25,8 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         n = 2048
-        steps = 50
-        timing_iters = 5
+        steps = 200  # long scan: amortizes the axon relay's ~40ms dispatch
+        timing_iters = 3
     else:  # smoke-test fallback off-TPU
         n = 256
         steps = 10

@@ -87,6 +87,12 @@ class FluidConfig:
     diffusion_iters: int = 20
     pressure_iters: int = 30
 
+    # Pressure solver: "jacobi" = the reference's fixed-sweep iteration
+    # (parity); "multigrid" = V-cycle solver (beyond-parity fast mode,
+    # ops/multigrid.py) — far better converged per FLOP, not bit-parity.
+    pressure_solver: str = "jacobi"
+    mg_cycles: int = 2
+
     # CPU path zeroes rows y=0..10 every step (cpuFluidSim.cpp:387-394);
     # the GPU path has no such strip.
     boundary_rows: int = 0
@@ -118,6 +124,8 @@ class FluidConfig:
             raise ValueError(f"variant must be 'cpu' or 'gpu', got {self.variant!r}")
         if self.backend not in ("ref", "pallas", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.pressure_solver not in ("jacobi", "multigrid"):
+            raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
         if self.diffusion_iters < 0 or self.pressure_iters < 0:
             raise ValueError("iteration counts must be >= 0")
 

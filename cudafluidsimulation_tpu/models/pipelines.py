@@ -92,7 +92,10 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
 
         # -- pressure projection
         div = ops.divergence(u, v, config.half_divergence)
-        p = ops.pressure_solve(div, config.pressure_iters)
+        if config.pressure_solver == "multigrid":
+            p = ops.pressure_solve_mg(div, config.mg_cycles)
+        else:
+            p = ops.pressure_solve(div, config.pressure_iters)
         u, v = ops.project(u, v, p)
 
         # -- boundary strip (cpu path only)

@@ -25,6 +25,7 @@ _OP_NAMES = [
     "diffuse_multi",
     "divergence",
     "pressure_solve",
+    "pressure_solve_mg",
     "project",
     "splat_cpu",
     "splat_gpu",

@@ -1,0 +1,100 @@
+"""Geometric multigrid pressure solver — the beyond-parity fast mode.
+
+The reference (and our parity pipelines) run fixed Jacobi sweeps
+(5/30/40/100 depending on config), which stall on low-frequency error: at
+2048² even 100 sweeps barely move the large-scale divergence.  A V-cycle
+with damped-Jacobi smoothing reduces the residual ~10x per cycle at a cost
+of ~8 fine-grid-sweep equivalents, so 2-3 cycles beat hundreds of sweeps.
+
+Solves the same discrete system the parity solver iterates,
+    (4 p - pL - pR - pB - pT) = -div     (clamped / Neumann edges),
+so it plugs into the pipeline as ``pressure_solver="multigrid"``
+(FluidConfig) with everything else unchanged.  Restriction is 2x2 averaging,
+prolongation nearest-neighbor — both pure VPU reshape/broadcast ops that XLA
+fuses well on TPU.  Requires grid dims divisible by 2**levels; levels are
+chosen automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cudafluidsimulation_tpu.ops.stencil import neighbors
+
+_OMEGA = 0.8  # damped-Jacobi smoothing weight
+
+
+def _apply_a(p):
+    """A p = 4p - sum(neighbors), clamped edges."""
+    l, r, b, t = neighbors(p)
+    return 4.0 * p - (l + r + b + t)
+
+
+def _smooth(p, rhs, sweeps: int):
+    def sweep(p, _):
+        l, r, b, t = neighbors(p)
+        p_jac = 0.25 * (l + r + b + t + rhs)
+        return p + _OMEGA * (p_jac - p), None
+
+    p, _ = jax.lax.scan(sweep, p, None, length=sweeps)
+    return p
+
+
+def _restrict(x):
+    h, w = x.shape
+    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def _prolong(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+
+
+def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
+    n = 0
+    while (
+        n < max_levels - 1
+        and h % 2 == 0 and w % 2 == 0
+        and h // 2 >= min_size and w // 2 >= min_size
+    ):
+        h //= 2
+        w //= 2
+        n += 1
+    return n + 1
+
+
+def _vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
+    if level == 1:
+        return _smooth(p, rhs, coarse_sweeps)
+    p = _smooth(p, rhs, nu1)
+    res = rhs - _apply_a(p)
+    # NOTE the scaling: restricting the residual of the unscaled 5-point
+    # operator onto the coarse grid doubles the effective mesh width, which
+    # for this h²-absorbed operator means the coarse RHS gains a factor 4.
+    rhs_c = 4.0 * _restrict(res)
+    e_c = _vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1, nu1, nu2,
+                  coarse_sweeps)
+    p = p + _prolong(e_c)
+    return _smooth(p, rhs, nu2)
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2", "coarse_sweeps"))
+def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
+                      coarse_sweeps: int = 20):
+    """Multigrid solve of the pressure system from p=0 (same system and
+    start state as ops.ref.pressure_solve, far better converged)."""
+    h, w = div.shape
+    lv = _levels(h, w)
+    rhs = -div
+    p = jnp.zeros_like(div)
+    for _ in range(cycles):
+        p = _vcycle(p, rhs, lv, nu1, nu2, coarse_sweeps)
+    return p
+
+
+def residual_norm(p, div):
+    """||A p + div||_rms — convergence diagnostic."""
+    r = _apply_a(p) + div
+    return jnp.sqrt(jnp.mean(r * r))

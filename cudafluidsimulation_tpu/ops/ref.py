@@ -223,6 +223,13 @@ def pressure_solve(div: Array, iters: int) -> Array:
     return p
 
 
+def pressure_solve_mg(div: Array, cycles: int = 2) -> Array:
+    """Multigrid pressure solve (beyond-parity fast mode; ops/multigrid.py)."""
+    from cudafluidsimulation_tpu.ops.multigrid import pressure_solve_mg as mg
+
+    return mg(div, cycles=cycles)
+
+
 def project(u: Array, v: Array, p: Array) -> Tuple[Array, Array]:
     """u -= 0.5*(pR - pL), v -= 0.5*(pT - pB), clamped edges
     (cpuFluidSim.cpp:374-377, GPUFluidSim.cu:498-516)."""

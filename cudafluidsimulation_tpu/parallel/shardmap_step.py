@@ -214,7 +214,14 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
     ns.diffuse = diffuse
     ns.diffuse_multi = diffuse_multi
     ns.divergence = divergence
+    def pressure_solve_mg(div, cycles):
+        raise NotImplementedError(
+            "multigrid is not yet implemented for the shard_map path; "
+            "use pressure_solver='jacobi' with sharded configs"
+        )
+
     ns.pressure_solve = pressure_solve
+    ns.pressure_solve_mg = pressure_solve_mg
     ns.project = project
     ns.splat_cpu = _splat("cpu")
     ns.splat_gpu = _splat("gpu")

@@ -11,7 +11,11 @@ metric).  Run on TPU; falls back to tiny smoke sizes elsewhere.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
