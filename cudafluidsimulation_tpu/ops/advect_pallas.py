@@ -51,7 +51,7 @@ def _interpret() -> bool:
 
 def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out,
                    *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, c):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     dt = dt_ref[0, 0]
     y0 = i * r
     he = r + 2 * hd
@@ -136,35 +136,43 @@ def _halo(d: int) -> int:
     return max(_SUBLANE, -(-(d + 1) // _SUBLANE) * _SUBLANE)
 
 
+def _footprint(r: int, w: int, c: int, hd: int) -> int:
+    """Estimated VMEM bytes for one program: double-buffered io blocks plus
+    the ext value, its rolled copies, and the accumulator."""
+    blocks = c * r * w + 2 * c * hd * w + 2 * r * w + c * r * w
+    # live values: ext + one rolled copy + accumulator (rolls reuse buffers)
+    values = 2 * c * (r + 2 * hd) * w + c * r * w
+    return 4 * (2 * blocks + values)
+
+
 def _pick_rows(h: int, w: int, c: int, hd: int) -> int:
     """Largest strip height (multiple of 8, divides h) whose working set
     fits comfortably in VMEM."""
     budget = 10 * 1024 * 1024
     r = 256
     while r >= _SUBLANE:
-        if h % r == 0:
-            blocks = 2 * (c * r * w + 2 * c * hd * w + 2 * r * w + c * r * w)
-            scratch = 2 * c * (r + 2 * hd) * w + c * r * w + c * (r + _SUBLANE) * w
-            if 4 * (blocks + scratch) <= budget:
-                return r
+        if h % r == 0 and _footprint(r, w, c, hd) <= budget:
+            return r
         r -= _SUBLANE
     return 0
 
 
 def _pad_geometry(h: int, w: int, c: int, hd: int):
-    """(h_pad, w_pad, r): zero-padded geometry for arbitrary grids.  Unlike
-    the Jacobi mirror padding this needs no re-fill invariant — padded cells
-    are never tap targets (taps clamp to the physical domain), so zeros
-    suffice and any pad amount works."""
+    """(h_pad, w_pad, r, c_block): zero-padded geometry for arbitrary grids.
+    Unlike the Jacobi mirror padding this needs no re-fill invariant — padded
+    cells are never tap targets (taps clamp to the physical domain), so zeros
+    suffice and any pad amount works.  Very wide grids that cannot fit all
+    channels in VMEM at once fall back to one-channel-per-program
+    (c_block=1; positions/weights are recomputed per channel)."""
     w_pad = -(-w // 128) * 128
-    h_try = -(-h // hd) * hd
-    while True:
-        r = _pick_rows(h_try, w_pad, c, hd)
-        if r >= hd:
-            return h_try, w_pad, r
-        h_try += hd
-        if h_try > 4 * h + 8 * hd:
-            raise ValueError(f"no viable advect geometry for {h}x{w}")
+    for c_block in ([c, 1] if c > 1 else [1]):
+        h_try = -(-h // hd) * hd
+        while h_try <= 4 * h + 8 * hd:
+            r = _pick_rows(h_try, w_pad, c_block, hd)
+            if r >= hd:
+                return h_try, w_pad, r, c_block
+            h_try += hd
+    raise ValueError(f"no viable advect geometry for {h}x{w}")
 
 
 def supported(h: int, w: int, c: int, d: int) -> bool:
@@ -179,7 +187,7 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290)."""
     c, h, w = fields.shape
     hd = _halo(d)
-    hp, wp, r = _pad_geometry(h, w, c, hd)
+    hp, wp, r, cb = _pad_geometry(h, w, c, hd)
     if (hp, wp) != (h, w):
         pad = [(0, hp - h), (0, wp - w)]
         fields_in = jnp.pad(fields, [(0, 0)] + pad)
@@ -189,29 +197,30 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
         fields_in, u_in, v_in = fields, u, v
     n_strips = hp // r
     hblk = hp // hd
+    c_grid = c // cb
 
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     vm = pltpu.VMEM
-    plane = pl.BlockSpec((1 * r, wp), lambda i: (i, 0), memory_space=vm)
-    mid = pl.BlockSpec((c, r, wp), lambda i: (0, i, 0), memory_space=vm)
-    lo = pl.BlockSpec((c, hd, wp),
-                      lambda i: (0, jnp.maximum(i * (r // hd) - 1, 0), 0),
+    plane = pl.BlockSpec((1 * r, wp), lambda ci, i: (i, 0), memory_space=vm)
+    mid = pl.BlockSpec((cb, r, wp), lambda ci, i: (ci, i, 0), memory_space=vm)
+    lo = pl.BlockSpec((cb, hd, wp),
+                      lambda ci, i: (ci, jnp.maximum(i * (r // hd) - 1, 0), 0),
                       memory_space=vm)
-    hi = pl.BlockSpec((c, hd, wp),
-                      lambda i: (0, jnp.minimum((i + 1) * (r // hd), hblk - 1), 0),
+    hi = pl.BlockSpec((cb, hd, wp),
+                      lambda ci, i: (ci, jnp.minimum((i + 1) * (r // hd), hblk - 1), 0),
                       memory_space=vm)
 
     kern = functools.partial(
         _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=hp, w=wp, h_phys=h, w_phys=w, r=r, hd=hd, d=d, c=c,
+        h=hp, w=wp, h_phys=h, w_phys=w, r=r, hd=hd, d=d, c=cb,
     )
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-        grid=(n_strips,),
+        grid=(c_grid, n_strips),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
             plane, plane, mid, lo, hi,
         ],
         out_specs=mid,

@@ -105,6 +105,19 @@ def main():
     emit(f"ensemble {b} x {n}^2 x{steps} viscosity sweep", steps, sec,
          b * n * n)
 
+    # 4b. 8192² on ONE chip (1.9 GB of fields; the sharded config's
+    # single-device anchor point)
+    if on_tpu:
+        n = 8192
+        steps = 8
+        cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
+                                        backend="auto")
+        sim = Simulation(cfg)
+        imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+        sec = timed(sim._jit_run, sim.init(), imp, reps=2)
+        emit(f"single-chip {n}^2 x{steps} (100 pressure iters)", steps, sec,
+             n * n)
+
     # 5. sharded 8192² (needs >= 8 devices; else report dry-run scale)
     ndev = len(jax.devices())
     if ndev >= 8 and on_tpu:
