@@ -29,11 +29,12 @@ from cudafluidsimulation_tpu.utils.impulse import Impulse
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, ens: int = 1, axis_names: Tuple[str, str] = ("ens", "x")
+    n_devices: Optional[int] = None, ens: int = 1,
+    axis_names: Tuple[str, str] = ("ens", "x"), devices=None,
 ) -> Mesh:
     """Build an (ens, x) device mesh; "x" shards grid rows, "ens" shards
     independent ensemble members."""
-    devs = jax.devices()
+    devs = devices if devices is not None else jax.devices()
     n = n_devices if n_devices is not None else len(devs)
     if n % ens != 0:
         raise ValueError(f"n_devices={n} not divisible by ens={ens}")
