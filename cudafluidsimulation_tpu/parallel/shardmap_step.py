@@ -214,11 +214,57 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
     ns.diffuse = diffuse
     ns.diffuse_multi = diffuse_multi
     ns.divergence = divergence
+    def _mg_apply_a(p):
+        pp = exchange_rows(p, 1, axis_name)
+        l, r_, b, t = neighbors_padded(pp)
+        return 4.0 * p - (l + r_ + b + t)
+
+    def _mg_smooth(p, rhs, sweeps):
+        omega = 0.8
+
+        def sweep(p, _):
+            pp = exchange_rows(p, 1, axis_name)
+            l, r_, b, t = neighbors_padded(pp)
+            return p + omega * (0.25 * (l + r_ + b + t + rhs) - p), None
+
+        p, _ = lax.scan(sweep, p, None, length=sweeps)
+        return p
+
+    def _mg_vcycle(p, rhs, level):
+        if level == 1:
+            return _mg_smooth(p, rhs, 20)
+        p = _mg_smooth(p, rhs, 2)
+        res = rhs - _mg_apply_a(p)
+        hl, w = res.shape
+        # restriction/prolongation stay shard-local: each shard's rows are
+        # globally contiguous, so 2x2 blocks never straddle shard boundaries
+        rhs_c = 4.0 * res.reshape(hl // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        e_c = _mg_vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1)
+        p = p + jnp.repeat(jnp.repeat(e_c, 2, axis=0), 2, axis=1)
+        return _mg_smooth(p, rhs, 2)
+
     def pressure_solve_mg(div, cycles):
-        raise NotImplementedError(
-            "multigrid is not yet implemented for the shard_map path; "
-            "use pressure_solver='jacobi' with sharded configs"
-        )
+        """Sharded V-cycle multigrid: every level stays row-sharded; the
+        smoother exchanges 1-row halos over ICI (see ops/multigrid.py for
+        the single-chip derivation and the factor-4 coarse-RHS scaling).
+        The level hierarchy is chosen from the GLOBAL grid so results match
+        the single-device solver, capped where a shard's rows stop halving.
+        """
+        from cudafluidsimulation_tpu.ops.multigrid import _levels
+
+        hl, w = div.shape
+        level = _levels(h_global, w)
+        local_cap = 1
+        hh = hl
+        while hh % 2 == 0 and hh >= 2:
+            hh //= 2
+            local_cap += 1
+        level = min(level, local_cap)
+        rhs = -div
+        p = jnp.zeros_like(div)
+        for _ in range(cycles):
+            p = _mg_vcycle(p, rhs, level)
+        return p
 
     ns.pressure_solve = pressure_solve
     ns.pressure_solve_mg = pressure_solve_mg
