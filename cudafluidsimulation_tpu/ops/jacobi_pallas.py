@@ -45,7 +45,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _clamped_neighbors(a: jnp.ndarray):
+def _edge_masks(rows: int, w: int):
+    """Boolean first/last-column masks, computed once per kernel invocation
+    and reused across all sweeps."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    return col == 0, col == w - 1
+
+
+def _clamped_neighbors(a: jnp.ndarray, is_first_col, is_last_col):
     """(left, right, below, above) neighbors of the VMEM-resident strip.
 
     X-borders are clamped (edge-replicated) with a select: a[y, 0] is its own
@@ -56,9 +63,8 @@ def _clamped_neighbors(a: jnp.ndarray):
     by size-1 is rolling by -1.
     """
     rows, w = a.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-    left = jnp.where(col == 0, a, pltpu.roll(a, 1, axis=1))
-    right = jnp.where(col == w - 1, a, pltpu.roll(a, w - 1, axis=1))
+    left = jnp.where(is_first_col, a, pltpu.roll(a, 1, axis=1))
+    right = jnp.where(is_last_col, a, pltpu.roll(a, w - 1, axis=1))
     below = pltpu.roll(a, 1, axis=0)
     above = pltpu.roll(a, rows - 1, axis=0)
     return left, right, below, above
@@ -89,8 +95,9 @@ def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_stri
     de = jnp.concatenate([d_lo[0], d_mid[0], d_hi[0]], axis=0)
     pe = _edge_fill(pe, i, n_strips, hd)
     de = _edge_fill(de, i, n_strips, hd)
+    fc, lc = _edge_masks(*pe.shape)
     for _ in range(k):
-        l, r, b, t = _clamped_neighbors(pe)
+        l, r, b, t = _clamped_neighbors(pe, fc, lc)
         pe = (l + r + b + t - de) * 0.25
     out[0] = pe[hd:-hd, :]
 
@@ -101,8 +108,9 @@ def _diffuse_kernel(alpha_ref, f_mid, f_lo, f_hi, out, *, k, hd, n_strips):
     inv_beta = 1.0 / (4.0 + alpha)
     fe = jnp.concatenate([f_lo[0], f_mid[0], f_hi[0]], axis=0)
     fe = _edge_fill(fe, i, n_strips, hd)
+    fc, lc = _edge_masks(*fe.shape)
     for _ in range(k):
-        l, r, b, t = _clamped_neighbors(fe)
+        l, r, b, t = _clamped_neighbors(fe, fc, lc)
         fe = (l + r + b + t + fe * alpha) * inv_beta
     out[0] = fe[hd:-hd, :]
 
