@@ -11,18 +11,12 @@ masked shift-accumulation, which is pure VPU work:
 where the bilerp weights factorize exactly: wy(dy) = (1-ty)*[cy1==y+dy]
 + ty*[cy2==y+dy] and likewise wx.
 
-Loop structure (all trip counts static, as Mosaic requires, but guarded by
-pl.when on per-strip displacement bounds so quiet regions execute only the
-offsets they use):
-
-  - x-offsets: static loop over dx in [-D, D]; each active dx lane-rotates
-    the VMEM-resident strip once (wrapped columns are never selected — the
-    clamped tap column always lies in-domain).
-  - y-offsets: a *dynamic* fori_loop over aligned 8-row chunks (dynamic
-    sublane slices must be provably 8-aligned — pl.multiple_of) with a
-    static 8-way residue unroll inside.  This keeps the unrolled block count
-    O(D) instead of O(D²), which is what makes D=15 compile in reasonable
-    time.
+Both offset loops are dynamic fori_loops over the strip's REALIZED
+displacement window (dynamic-shift pltpu.roll moves the data; the inner dx
+loop advances with cheap static single-lane shifts), so quiet strips run a
+handful of iterations and only strips containing fast flow pay for wide
+windows.  (A 2-D column-blocked variant with x halos was tried and lost to
+this strip design in both quiet and dispersed regimes — see git history.)
 
 The displacement each step is bounded by ``max_displacement`` (D) cells:
 taps farther than D cells from the target are clamped to +/-D.  The
