@@ -13,13 +13,12 @@ accesses clamp (edge replication).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from cudafluidsimulation_tpu.ops.stencil import neighbors, shift_x, shift_y
+from cudafluidsimulation_tpu.ops.stencil import neighbors
 
 Array = jnp.ndarray
 

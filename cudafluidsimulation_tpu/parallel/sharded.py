@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cudafluidsimulation_tpu.config import FluidConfig
 from cudafluidsimulation_tpu.models.pipelines import make_step
-from cudafluidsimulation_tpu.state import FluidState, init_state
+from cudafluidsimulation_tpu.state import FluidState
 from cudafluidsimulation_tpu.utils.impulse import Impulse
 
 

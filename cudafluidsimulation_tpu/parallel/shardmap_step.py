@@ -17,8 +17,6 @@ make_step unchanged.  Per-device work can later swap in the pallas kernels.
 from __future__ import annotations
 
 import types
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
