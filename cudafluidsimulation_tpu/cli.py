@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--resume", default="", help="resume from a state checkpoint")
     p.add_argument("--report", action="store_true", help="per-stage timing report")
+    p.add_argument("--report-mode", choices=["sampled", "instrumented"],
+                   default="sampled",
+                   help="sampled = out-of-band stage timing (fast); "
+                   "instrumented = reference-style in-run accumulation "
+                   "(re-runs the rollout un-jitted, slow)")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the rollout")
     p.add_argument("--view", choices=["none", "term"], default="none",
@@ -150,7 +155,13 @@ def main(argv=None) -> int:
 
     rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
     if args.report:
-        rep.stage_ms = sim.stage_timings().stage_ms
+        if args.report_mode == "instrumented":
+            from cudafluidsimulation_tpu.utils.instrument import run_instrumented
+
+            _, irep = run_instrumented(cfg, sim.init(), imp)
+            rep.stage_ms = irep.stage_ms
+        else:
+            rep.stage_ms = sim.stage_timings().stage_ms
     print(rep.format())
     return 0
 

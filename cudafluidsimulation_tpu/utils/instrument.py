@@ -1,0 +1,94 @@
+"""Run-accumulated per-stage timing — the reference's in-run timers.
+
+The reference accumulates running averages around every stage of the ACTUAL
+run (cpuFluidSim.cpp:329-385, GPUFluidSim.cu:609-712) and prints them at
+exit.  The TPU production path must not sync per stage (it would drain the
+pipeline), so `Simulation.stage_timings` samples stages out-of-band instead.
+This module provides the faithful in-run variant for diagnostics: it wraps
+the op namespace so every op call blocks and bills its wall time to the
+reference's stage buckets, then drives the REAL pipeline (make_step, un-jit)
+step by step.  Slow by design — use for stage attribution, not production.
+"""
+
+from __future__ import annotations
+
+import time
+import types
+from typing import Dict, Tuple
+
+import jax
+
+from cudafluidsimulation_tpu.config import FluidConfig
+from cudafluidsimulation_tpu.models.pipelines import make_step
+from cudafluidsimulation_tpu.ops.backend import get_ops
+from cudafluidsimulation_tpu.state import FluidState
+from cudafluidsimulation_tpu.utils.impulse import Impulse, num_steps, slice_step
+from cudafluidsimulation_tpu.utils.timing import StageReport
+
+# op name -> reference stage bucket (Main.cpp:183 stage names)
+_STAGE_OF = {
+    "advect_velocity": "Advect",
+    "advect_dye": "Advect",
+    "curl": "Vorticity",
+    "vorticity_confinement_cpu": "Vorticity",
+    "vorticity_confinement_gpu": "Vorticity",
+    "diffuse": "Diffuse",
+    "diffuse_multi": "Diffuse",
+    "splat_cpu": "Force",
+    "splat_gpu": "Force",
+    "cycle_color": "Force",
+    "divergence": "Pressure",
+    "pressure_solve": "Pressure",
+    "pressure_solve_mg": "Pressure",
+    "project": "Project",
+    "boundary_strip": "Project",
+    "pack_rgba": "Paint",
+    "apply_bloom": "Bloom",
+}
+
+
+def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
+    ns = types.SimpleNamespace()
+    for name in vars(base):
+        fn = getattr(base, name)
+        stage = _STAGE_OF.get(name)
+        if stage is None:
+            setattr(ns, name, fn)
+            continue
+
+        def wrapped(*args, _fn=fn, _stage=stage, **kw):
+            t0 = time.perf_counter()
+            out = _fn(*args, **kw)
+            jax.block_until_ready(out)
+            totals[_stage] = totals.get(_stage, 0.0) + time.perf_counter() - t0
+            return out
+
+        setattr(ns, name, wrapped)
+    return ns
+
+
+def run_instrumented(
+    config: FluidConfig, state: FluidState, impulses: Impulse
+) -> Tuple[FluidState, StageReport]:
+    """Run the rollout un-jitted with per-op blocking timers; returns the
+    final state and a reference-style per-stage report of the actual run."""
+    totals: Dict[str, float] = {}
+    ops = timed_ops(get_ops(config), totals)
+    step = make_step(config, ops)
+
+    n = num_steps(impulses)
+    t0 = time.perf_counter()
+    for i in range(n):
+        state = step(state, slice_step(impulses, i))
+    jax.block_until_ready(state)
+    total = time.perf_counter() - t0
+
+    report = StageReport(
+        grid=f"{config.nx}x{config.ny}", steps=n, total_s=total
+    )
+    order = ["Advect", "Vorticity", "Diffuse", "Force", "Pressure", "Project",
+             "Paint", "Bloom"]
+    for stage in order:
+        if stage in totals:
+            report.stage_ms[stage] = 1000.0 * totals[stage] / max(1, n)
+    return state, report
