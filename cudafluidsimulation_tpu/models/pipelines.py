@@ -123,6 +123,11 @@ def make_render(config: FluidConfig, ops=None) -> Callable[[FluidState], jnp.nda
     Replaces the reference's convertToOpenGLInput/applyBloom/writeToTexture
     chain (GPUFluidSim.cu:432-442, 576-601) — no OpenGL; the frame is a plain
     (4, H, W) uint8 array ready for host streaming.
+
+    Bloom centers on ``state.mouse`` (the most recent pressed position); the
+    reference centers on x2pos = the PREVIOUS frame's cursor
+    (GPUFluidSim.cu:701, Main.cpp:155), i.e. one frame behind ours — a
+    sub-cell visual difference.
     """
     if ops is None:
         ops = get_ops(config)

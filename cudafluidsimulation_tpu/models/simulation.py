@@ -84,12 +84,22 @@ class Simulation:
     def collect_frames(
         self, state: FluidState, impulses: Impulse, every: int = 1
     ):
-        fn = jax.jit(
-            functools.partial(run_scan_collect, self.step_fn, self.render_fn, every=every)
-        )
-        final, frames, emits = fn(state, impulses)
-        frames = np.asarray(frames)[np.asarray(emits)]
-        return final, np.moveaxis(frames, 1, -1)[:, ::-1]  # (N, H, W, 4), y-up
+        """Roll out and return one frame per ``every`` steps.
+
+        Runs in ``every``-step compiled segments and renders once per
+        segment, so device memory holds a single frame at a time (a
+        one-frame-per-step scan output would be T*H*W*4 bytes).
+        """
+        n = int(impulses.pressed.shape[0])
+        frames = []
+        start = 0
+        while start < n:
+            end = min(start + every, n)
+            part = Impulse(*(f[start:end] for f in impulses))
+            state = self._jit_run(state, part)
+            frames.append(np.moveaxis(np.asarray(self._jit_render(state)), 0, -1)[::-1])
+            start = end
+        return state, np.stack(frames)  # (N, H, W, 4), y-up
 
     # -- ensembles ----------------------------------------------------------
 
