@@ -28,18 +28,18 @@ def run_scan(step_fn, state: FluidState, impulses: Impulse) -> FluidState:
     return final
 
 
-def run_scan_collect(
-    step_fn, render_fn, state: FluidState, impulses: Impulse, every: int
+def run_scan_render(
+    step_fn, render_fn, state: FluidState, impulses: Impulse
 ) -> Tuple[FluidState, jnp.ndarray]:
-    """Scan that also emits a rendered RGBA frame every ``every`` steps."""
+    """Scan that emits a rendered RGBA frame EVERY step (the interactive-
+    equivalent pipeline; frames buffer is T*H*W*4 bytes — for subsampled
+    collection use Simulation.collect_frames, which renders per segment)."""
 
     def body(s, imp):
         s2 = step_fn(s, imp)
-        emit = (s2.step % every) == 0
-        return s2, (render_fn(s2), emit)
+        return s2, render_fn(s2)
 
-    final, (frames, emits) = jax.lax.scan(body, state, impulses)
-    return final, frames, emits
+    return jax.lax.scan(body, state, impulses)
 
 
 class Simulation:

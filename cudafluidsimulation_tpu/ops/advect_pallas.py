@@ -140,14 +140,15 @@ def _footprint(r: int, w: int, c: int, hd: int) -> int:
 
 
 def _pick_rows(h: int, w: int, c: int, hd: int) -> int:
-    """Largest strip height (multiple of 8, divides h) whose working set
-    fits comfortably in VMEM."""
+    """Largest strip height that divides h, is a MULTIPLE OF THE HALO DEPTH
+    (the lo/hi halo index maps address hd-row blocks at i*(r//hd)-1, which is
+    only the right offset when hd | r), and fits in VMEM."""
     budget = 10 * 1024 * 1024
     r = 256
-    while r >= _SUBLANE:
-        if h % r == 0 and _footprint(r, w, c, hd) <= budget:
+    while r >= hd:
+        if h % r == 0 and r % hd == 0 and _footprint(r, w, c, hd) <= budget:
             return r
-        r -= _SUBLANE
+        r -= hd
     return 0
 
 
@@ -170,7 +171,13 @@ def _pad_geometry(h: int, w: int, c: int, hd: int):
 
 
 def supported(h: int, w: int, c: int, d: int) -> bool:
-    return h >= _SUBLANE and w >= 64
+    if h < _SUBLANE or w < 64:
+        return False
+    try:
+        _pad_geometry(h, w, c, _halo(d))
+        return True
+    except ValueError:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d"))

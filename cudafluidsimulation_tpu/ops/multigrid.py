@@ -27,22 +27,6 @@ from cudafluidsimulation_tpu.ops.stencil import neighbors
 _OMEGA = 0.8  # damped-Jacobi smoothing weight
 
 
-def _apply_a(p):
-    """A p = 4p - sum(neighbors), clamped edges."""
-    l, r, b, t = neighbors(p)
-    return 4.0 * p - (l + r + b + t)
-
-
-def _smooth(p, rhs, sweeps: int):
-    def sweep(p, _):
-        l, r, b, t = neighbors(p)
-        p_jac = 0.25 * (l + r + b + t + rhs)
-        return p + _OMEGA * (p_jac - p), None
-
-    p, _ = jax.lax.scan(sweep, p, None, length=sweeps)
-    return p
-
-
 def _restrict(x):
     h, w = x.shape
     return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
@@ -65,19 +49,46 @@ def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
     return n + 1
 
 
-def _vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
-    if level == 1:
-        return _smooth(p, rhs, coarse_sweeps)
-    p = _smooth(p, rhs, nu1)
-    res = rhs - _apply_a(p)
-    # NOTE the scaling: restricting the residual of the unscaled 5-point
-    # operator onto the coarse grid doubles the effective mesh width, which
-    # for this h²-absorbed operator means the coarse RHS gains a factor 4.
-    rhs_c = 4.0 * _restrict(res)
-    e_c = _vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1, nu1, nu2,
-                  coarse_sweeps)
-    p = p + _prolong(e_c)
-    return _smooth(p, rhs, nu2)
+def make_vcycle(neighbors_fn):
+    """Build the V-cycle from a clamped-neighborhood function — the single
+    source of the multigrid numerics.  ``neighbors_fn(p) -> (l, r, b, t)``
+    supplies the operator's boundary handling: the single-chip solver passes
+    the local clamped stencil, the shard_map path passes its ppermute
+    halo-exchange stencil.  Restriction/prolongation are local either way
+    (shards hold globally contiguous rows)."""
+
+    def apply_a(p):
+        l, r, b, t = neighbors_fn(p)
+        return 4.0 * p - (l + r + b + t)
+
+    def smooth(p, rhs, sweeps: int):
+        def sweep(p, _):
+            l, r, b, t = neighbors_fn(p)
+            p_jac = 0.25 * (l + r + b + t + rhs)
+            return p + _OMEGA * (p_jac - p), None
+
+        p, _ = jax.lax.scan(sweep, p, None, length=sweeps)
+        return p
+
+    def vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
+        if level == 1:
+            return smooth(p, rhs, coarse_sweeps)
+        p = smooth(p, rhs, nu1)
+        res = rhs - apply_a(p)
+        # NOTE the scaling: restricting the residual of the unscaled 5-point
+        # operator onto the coarse grid doubles the effective mesh width,
+        # which for this h²-absorbed operator means the coarse RHS gains a
+        # factor 4.
+        rhs_c = 4.0 * _restrict(res)
+        e_c = vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1, nu1, nu2,
+                     coarse_sweeps)
+        p = p + _prolong(e_c)
+        return smooth(p, rhs, nu2)
+
+    return vcycle, apply_a
+
+
+_vcycle, _apply_a = make_vcycle(neighbors)
 
 
 @functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2", "coarse_sweeps"))

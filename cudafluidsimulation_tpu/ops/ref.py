@@ -241,39 +241,54 @@ def project(u: Array, v: Array, p: Array) -> Tuple[Array, Array]:
 # ---------------------------------------------------------------------------
 
 
-def splat_cpu(u, v, dye, cur, last, dt, force_scale, radius, color):
-    """CPU-path splat (cpuFluidSim.cpp:299-324): force Gaussian centered at
-    the *previous* position, dye Gaussian at the current one, both with
-    denominator ``radius`` (hardcoded 10); force = (last - cur) * dt * scale.
-    (Yes, (last - cur): the reference pushes fluid *opposite* to the drag
-    direction — replicated as-is.)"""
-    h, w = u.shape
+def coord_grids(h, w, y0=0):
+    """(xs, ys) float32 cell-coordinate grids; ``y0`` offsets rows for
+    shard-local views of a row-sharded global field."""
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y0
+    return xs, ys
+
+
+def splat_core(u, v, dye, cur, last, dt, force_scale, radius, color,
+               xs, ys, kind: str):
+    """Shared splat numerics over explicit coordinate grids (single source
+    of truth for single-chip AND sharded paths).
+
+    cpu kind (cpuFluidSim.cpp:299-324): force Gaussian centered at the
+    *previous* position, dye Gaussian at the current one, force =
+    (last - cur) * dt * scale.  (Yes, (last - cur): the reference pushes
+    fluid *opposite* to the drag direction — replicated as-is.)
+
+    gpu kind (GPUFluidSim.cu:519-532, host setup :656-663): one Gaussian at
+    the *last* position (x2pos in the kernel call is lastXPos, Main.cpp:155),
+    F = (last - cur) * force_scale, u += F*dt*e, dye += color*e.
+    """
     d2u = (xs - last[0]) ** 2 + (ys - last[1]) ** 2
     eu = jnp.exp(-d2u / radius)
-    u2 = u + (last[0] - cur[0]) * dt * force_scale * eu
-    v2 = v + (last[1] - cur[1]) * dt * force_scale * eu
-    d2c = (xs - cur[0]) ** 2 + (ys - cur[1]) ** 2
-    ec = jnp.exp(-d2c / radius)
+    if kind == "cpu":
+        # preserve the reference's f32 evaluation order exactly per variant
+        u2 = u + (last[0] - cur[0]) * dt * force_scale * eu
+        v2 = v + (last[1] - cur[1]) * dt * force_scale * eu
+        d2c = (xs - cur[0]) ** 2 + (ys - cur[1]) ** 2
+        ec = jnp.exp(-d2c / radius)
+    else:
+        u2 = u + (last[0] - cur[0]) * force_scale * dt * eu
+        v2 = v + (last[1] - cur[1]) * force_scale * dt * eu
+        ec = eu
     dye2 = dye + color[:, None, None] * ec[None]
     return u2, v2, dye2
 
 
+def splat_cpu(u, v, dye, cur, last, dt, force_scale, radius, color):
+    xs, ys = coord_grids(*u.shape)
+    return splat_core(u, v, dye, cur, last, dt, force_scale, radius, color,
+                      xs, ys, "cpu")
+
+
 def splat_gpu(u, v, dye, cur, last, dt, force_scale, radius, color):
-    """GPU-path splat (GPUFluidSim.cu:519-532, host setup :656-663): one
-    Gaussian e = exp(-r²/radius) centered at the *last* position (x2pos in the
-    kernel call is lastXPos, Main.cpp:155), F = (last - cur) * force_scale,
-    u += F*dt*e, dye += color*e."""
-    h, w = u.shape
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    d2 = (xs - last[0]) ** 2 + (ys - last[1]) ** 2
-    e = jnp.exp(-d2 / radius)
-    u2 = u + (last[0] - cur[0]) * force_scale * dt * e
-    v2 = v + (last[1] - cur[1]) * force_scale * dt * e
-    dye2 = dye + color[:, None, None] * e[None]
-    return u2, v2, dye2
+    xs, ys = coord_grids(*u.shape)
+    return splat_core(u, v, dye, cur, last, dt, force_scale, radius, color,
+                      xs, ys, "gpu")
 
 
 def cycle_color(palette: Array, press_time) -> Array:
@@ -293,14 +308,21 @@ def cycle_color(palette: Array, press_time) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def boundary_strip_core(u, v, dye, rows: int, ys_i):
+    """Zero global rows [0, rows) given int row coordinates ``ys_i``
+    (shape (h, 1) locally or (hl, w) for a row-sharded view)."""
+    mask = (ys_i >= rows).astype(u.dtype)
+    return u * mask, v * mask, dye * mask[None]
+
+
 def boundary_strip(u, v, dye, rows: int):
     """Zero the bottom ``rows`` rows of velocity and dye — the CPU path's
     y = 0..10 strip (cpuFluidSim.cpp:387-394)."""
     if rows <= 0:
         return u, v, dye
     h = u.shape[0]
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) >= rows).astype(u.dtype)
-    return u * mask, v * mask, dye * mask[None]
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    return boundary_strip_core(u, v, dye, rows, ys_i)
 
 
 def pack_rgba(dye: Array) -> Array:
@@ -314,16 +336,19 @@ def pack_rgba(dye: Array) -> Array:
     return jnp.concatenate([c, alpha], axis=0)
 
 
-def apply_bloom(rgba: Array, pos, intense, radius) -> Array:
-    """Bloom post-effect (GPUFluidSim.cu:576-591): adds max(R,G,B) *
-    intense * exp(-(r² + 1)/radius²) near ``pos``, clamped to 255.
-    Operates on the uint8 RGBA frame like the reference."""
-    h, w = rgba.shape[-2], rgba.shape[-1]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+def bloom_core(rgba: Array, pos, intense, radius, xs, ys) -> Array:
+    """Bloom numerics over explicit coordinate grids (shared by single-chip
+    and sharded paths): adds max(R,G,B) * intense * exp(-(r² + 1)/radius²)
+    near ``pos``, clamped to 255 (GPUFluidSim.cu:576-591)."""
     d2 = (xs - pos[0]) ** 2 + (ys - pos[1]) ** 2
     e = intense * jnp.exp(-(d2 + 1.0) / (radius * radius))
     rgb = rgba[:3].astype(jnp.float32)
     mx = jnp.max(rgb, axis=0)
     rgb = jnp.minimum(255.0, rgb + mx[None] * e[None])
     return jnp.concatenate([rgb.astype(jnp.uint8), rgba[3:]], axis=0)
+
+def apply_bloom(rgba: Array, pos, intense, radius) -> Array:
+    """Single-chip bloom (see bloom_core)."""
+    h, w = rgba.shape[-2], rgba.shape[-1]
+    xs, ys = coord_grids(h, w)
+    return bloom_core(rgba, pos, intense, radius, xs, ys)

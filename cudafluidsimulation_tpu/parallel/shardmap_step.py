@@ -165,43 +165,22 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
 
     def _splat(kind):
         def splat(u, v, dye, cur, last, dt, force_scale, radius, color):
-            hl, w = u.shape
-            ys_f, _ = _global_rows((hl, w), axis_name)
-            xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
-            if kind == "cpu":
-                d2u = (xs_f - last[0]) ** 2 + (ys_f - last[1]) ** 2
-                eu = jnp.exp(-d2u / radius)
-                u2 = u + (last[0] - cur[0]) * dt * force_scale * eu
-                v2 = v + (last[1] - cur[1]) * dt * force_scale * eu
-                d2c = (xs_f - cur[0]) ** 2 + (ys_f - cur[1]) ** 2
-                ec = jnp.exp(-d2c / radius)
-                dye2 = dye + color[:, None, None] * ec[None]
-            else:
-                d2 = (xs_f - last[0]) ** 2 + (ys_f - last[1]) ** 2
-                e = jnp.exp(-d2 / radius)
-                u2 = u + (last[0] - cur[0]) * force_scale * dt * e
-                v2 = v + (last[1] - cur[1]) * force_scale * dt * e
-                dye2 = dye + color[:, None, None] * e[None]
-            return u2, v2, dye2
+            ys_f, _ = _global_rows(u.shape, axis_name)
+            xs_f = jax.lax.broadcasted_iota(jnp.float32, u.shape, 1)
+            return ref.splat_core(u, v, dye, cur, last, dt, force_scale,
+                                  radius, color, xs_f, ys_f, kind)
 
         return splat
 
     def boundary_strip(u, v, dye, rows):
-        hl = u.shape[0]
         _, ys_i = _global_rows(u.shape, axis_name)
-        mask = (ys_i >= rows).astype(u.dtype)
-        return u * mask, v * mask, dye * mask[None]
+        return ref.boundary_strip_core(u, v, dye, rows, ys_i)
 
     def apply_bloom(rgba, pos, intense, radius):
         hl, w = rgba.shape[-2], rgba.shape[-1]
         ys_f, _ = _global_rows((hl, w), axis_name)
         xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
-        d2 = (xs_f - pos[0]) ** 2 + (ys_f - pos[1]) ** 2
-        e = intense * jnp.exp(-(d2 + 1.0) / (radius * radius))
-        rgb = rgba[:3].astype(jnp.float32)
-        mx = jnp.max(rgb, axis=0)
-        rgb = jnp.minimum(255.0, rgb + mx[None] * e[None])
-        return jnp.concatenate([rgb.astype(jnp.uint8), rgba[3:]], axis=0)
+        return ref.bloom_core(rgba, pos, intense, radius, xs_f, ys_f)
 
     ns.bilerp = ref.bilerp  # unused by the pipeline directly
     ns.advect_velocity = advect_velocity
@@ -212,44 +191,19 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
     ns.diffuse = diffuse
     ns.diffuse_multi = diffuse_multi
     ns.divergence = divergence
-    def _mg_apply_a(p):
-        pp = exchange_rows(p, 1, axis_name)
-        l, r_, b, t = neighbors_padded(pp)
-        return 4.0 * p - (l + r_ + b + t)
-
-    def _mg_smooth(p, rhs, sweeps):
-        omega = 0.8
-
-        def sweep(p, _):
-            pp = exchange_rows(p, 1, axis_name)
-            l, r_, b, t = neighbors_padded(pp)
-            return p + omega * (0.25 * (l + r_ + b + t + rhs) - p), None
-
-        p, _ = lax.scan(sweep, p, None, length=sweeps)
-        return p
-
-    def _mg_vcycle(p, rhs, level):
-        if level == 1:
-            return _mg_smooth(p, rhs, 20)
-        p = _mg_smooth(p, rhs, 2)
-        res = rhs - _mg_apply_a(p)
-        hl, w = res.shape
-        # restriction/prolongation stay shard-local: each shard's rows are
-        # globally contiguous, so 2x2 blocks never straddle shard boundaries
-        rhs_c = 4.0 * res.reshape(hl // 2, 2, w // 2, 2).mean(axis=(1, 3))
-        e_c = _mg_vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1)
-        p = p + jnp.repeat(jnp.repeat(e_c, 2, axis=0), 2, axis=1)
-        return _mg_smooth(p, rhs, 2)
+    def _mg_neighbors(p):
+        return neighbors_padded(exchange_rows(p, 1, axis_name))
 
     def pressure_solve_mg(div, cycles):
-        """Sharded V-cycle multigrid: every level stays row-sharded; the
-        smoother exchanges 1-row halos over ICI (see ops/multigrid.py for
-        the single-chip derivation and the factor-4 coarse-RHS scaling).
-        The level hierarchy is chosen from the GLOBAL grid so results match
-        the single-device solver, capped where a shard's rows stop halving.
-        """
-        from cudafluidsimulation_tpu.ops.multigrid import _levels
+        """Sharded V-cycle multigrid: the shared numerics from
+        ops.multigrid.make_vcycle with this path's ppermute halo-exchange
+        neighborhood.  The level hierarchy is chosen from the GLOBAL grid so
+        results match the single-device solver, capped where a shard's rows
+        stop halving (restriction/prolongation stay shard-local since each
+        shard's rows are globally contiguous)."""
+        from cudafluidsimulation_tpu.ops.multigrid import _levels, make_vcycle
 
+        vcycle, _ = make_vcycle(_mg_neighbors)
         hl, w = div.shape
         level = _levels(h_global, w)
         local_cap = 1
@@ -261,7 +215,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
         rhs = -div
         p = jnp.zeros_like(div)
         for _ in range(cycles):
-            p = _mg_vcycle(p, rhs, level)
+            p = vcycle(p, rhs, level, 2, 2, 20)
         return p
 
     ns.pressure_solve = pressure_solve
@@ -284,19 +238,23 @@ def _state_spec(axis_name: str) -> FluidState:
     )
 
 
+def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
+    """Validate the sharding geometry and build the shard-local op set."""
+    n = mesh.shape[axis_name]
+    if config.ny % n != 0:
+        raise ValueError(f"ny={config.ny} not divisible by mesh axis {n}")
+    hl = config.ny // n
+    d = min(config.max_displacement, hl)
+    return sharded_ops(axis_name, config.ny, d)
+
+
 def make_shardmap_step(config: FluidConfig, mesh: Mesh, axis_name: str = "x"):
     """jit(shard_map(step)): one explicit-halo-exchange step over the mesh."""
     from jax import shard_map
 
     from cudafluidsimulation_tpu.models.pipelines import make_step
 
-    n = mesh.shape[axis_name]
-    if config.ny % n != 0:
-        raise ValueError(f"ny={config.ny} not divisible by mesh axis {n}")
-    hl = config.ny // n
-    d = min(config.max_displacement, hl)
-    ops = sharded_ops(axis_name, config.ny, d)
-    step = make_step(config, ops)
+    step = make_step(config, _local_ops(config, mesh, axis_name))
 
     ss = _state_spec(axis_name)
     imp_spec = Impulse(pos=P(None), last_pos=P(None), pressed=P(), dt=P())
@@ -313,11 +271,7 @@ def make_shardmap_rollout(config: FluidConfig, mesh: Mesh, axis_name: str = "x")
 
     from cudafluidsimulation_tpu.models.pipelines import make_step
 
-    n = mesh.shape[axis_name]
-    hl = config.ny // n
-    d = min(config.max_displacement, hl)
-    ops = sharded_ops(axis_name, config.ny, d)
-    step = make_step(config, ops)
+    step = make_step(config, _local_ops(config, mesh, axis_name))
 
     def run(state, impulses):
         final, _ = lax.scan(lambda s, i: (step(s, i), None), state, impulses)

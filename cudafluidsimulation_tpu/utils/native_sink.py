@@ -35,11 +35,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True, capture_output=True, timeout=120,
-                )
+            # make is a cheap no-op when the .so is fresh, and rebuilds it
+            # when framesink.cpp changed
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
             lib = ctypes.CDLL(_LIB_PATH)
             lib.fs_open.restype = ctypes.c_void_p
             lib.fs_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
@@ -84,6 +85,9 @@ class FrameSink:
                 directory.encode(), width, height, capacity))
 
     def push(self, frame: np.ndarray) -> bool:
+        """Enqueue a frame (always accepted); returns False when the queue
+        was full and the OLDEST queued frame was evicted to make room
+        (real-time display semantics — the newest content always survives)."""
         frame = np.ascontiguousarray(frame, dtype=np.uint8)
         if frame.shape != (self._h, self._w, 4):
             raise ValueError(f"expected ({self._h}, {self._w}, 4), got {frame.shape}")

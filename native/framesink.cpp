@@ -146,16 +146,20 @@ void* fs_open(const char* dir, int w, int h, int capacity) {
 int fs_push(void* handle, const uint8_t* rgba) {
   auto* s = static_cast<FrameSink*>(handle);
   std::vector<uint8_t> copy(rgba, rgba + size_t(s->w) * s->h * 4);
+  int accepted = 1;
   {
     std::lock_guard<std::mutex> lk(s->mu);
     if (s->queue.size() >= s->capacity) {
+      // drop the OLDEST queued frame, like a real-time display that always
+      // shows the latest content
+      s->queue.erase(s->queue.begin());
       s->dropped++;
-      return 0;  // drop like a saturated display queue
+      accepted = 0;
     }
     s->queue.push_back(std::move(copy));
   }
   s->cv_push.notify_one();
-  return 1;
+  return accepted;  // 0 = an older frame was evicted to make room
 }
 
 void fs_flush(void* handle) {

@@ -53,7 +53,7 @@ def main():
         batched_state,
         make_diffusion_sweep_run,
     )
-    from cudafluidsimulation_tpu.models.simulation import run_scan_collect
+    from cudafluidsimulation_tpu.models.simulation import run_scan_render
     from cudafluidsimulation_tpu.utils.impulse import constant_impulse, orbit_impulse
 
     on_tpu = jax.default_backend() == "tpu"
@@ -85,7 +85,7 @@ def main():
     import functools
 
     fn = jax.jit(functools.partial(
-        run_scan_collect, sim.step_fn, sim.render_fn, every=1))
+        run_scan_render, sim.step_fn, sim.render_fn))
     sec = timed(lambda s, i: fn(s, i)[0], sim.init(), imp, reps=1)
     emit(f"render-pipeline {n}^2 x{steps} (RGBA every step)", steps, sec, n * n)
 

@@ -37,14 +37,20 @@ def test_push_flush_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(got, f)
 
 
-def test_capacity_drops(tmp_path, rng):
+def test_capacity_drops_oldest(tmp_path):
     h, w = 512, 512
-    frame = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+    n = 200
     with FrameSink(str(tmp_path), w, h, capacity=2) as sink:
-        pushed = sum(sink.push(frame) for _ in range(200))
+        for i in range(n):
+            frame = np.full((h, w, 4), i % 251, np.uint8)  # tag content by index
+            sink.push(frame)
         sink.flush()
-        assert pushed + sink.dropped == 200
-        assert sink.written == pushed
+        # every frame is either written or evicted-as-oldest
+        assert sink.written + sink.dropped == n
+        written = sink.written
+    # drop-oldest: the newest frame always survives as the last file written
+    last = _decode_png_rgba(str(tmp_path / f"frame_{written - 1:08d}.png"), h, w)
+    assert int(last[0, 0, 0]) == (n - 1) % 251
 
 
 def test_python_fallback(tmp_path, rng):
