@@ -92,3 +92,23 @@ def test_odd_grid_advection(rng):
     exp = ref.advect_dye(dye, u, v, DT, 1.2)
     got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+
+def test_strip_seam_alignment_regression(rng):
+    """Regression: grids whose padded height selects a strip height that is
+    NOT a multiple of the halo depth used to corrupt advection at strip
+    seams (e.g. 540 rows, hd=16 -> r=136).  _pick_rows must enforce hd | r."""
+    from cudafluidsimulation_tpu.ops.advect_pallas import _halo, _pad_geometry
+
+    for (h, w) in [(540, 512), (100, 960), (200, 512)]:
+        hd = _halo(15)
+        r = _pad_geometry(h, w, 3, hd)[2]
+        assert r % hd == 0, (h, w, r, hd)
+
+    h, w = 540, 512
+    u = jnp.asarray(np.clip(rng.standard_normal((h, w)) * 150, -800, 800).astype(np.float32))
+    v = jnp.asarray(np.clip(rng.standard_normal((h, w)) * 150, -800, 800).astype(np.float32))
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-4)
