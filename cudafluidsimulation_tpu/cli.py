@@ -107,14 +107,38 @@ def main(argv=None) -> int:
         state = sim.init()
 
     if args.view == "term":
-        # interactive-style frame loop with live ANSI rendering
+        # interactive-style frame loop with live ANSI rendering; honors the
+        # chosen impulse script and the save/checkpoint flags
         from cudafluidsimulation_tpu.models.app import FluidApp, orbit_source
         from cudafluidsimulation_tpu.utils.term_view import TermViewer
 
-        app = FluidApp(cfg, input_source=orbit_source(cfg),
+        if args.impulse == "orbit":
+            source = orbit_source(cfg)
+        elif args.impulse == "center":
+            def source(t, _c=(nx / 2.0, ny / 2.0)):
+                return _c, (_c[0] - 3.0, _c[1] - 2.0), True
+        else:
+            def source(t, _c=(0.0, 0.0)):
+                return _c, _c, False
+
+        if args.frames_dir:
+            print("note: --frames-dir is ignored with --view term "
+                  "(frames go to the terminal)")
+        app = FluidApp(cfg, input_source=source,
                        frame_sink=TermViewer(), fixed_dt=args.dt)
         app.state = state
         report = app.run(max_frames=args.steps)
+        state = app.state
+        if args.save_fields:
+            np.savez_compressed(
+                args.save_fields,
+                u=np.asarray(state.u), v=np.asarray(state.v),
+                dye=np.asarray(state.dye), pressure=np.asarray(state.pressure),
+            )
+            print(f"saved fields to {args.save_fields}")
+        if args.checkpoint:
+            save_state(args.checkpoint, state)
+            print(f"saved checkpoint to {args.checkpoint}")
         print(report.format())
         return 0
 

@@ -16,7 +16,7 @@ blend, not control flow.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 

@@ -115,6 +115,8 @@ class Simulation:
         state = self.init()
         if impulses is None:
             impulses = no_impulse(steps, self.config.dt)
+        else:
+            steps = int(impulses.pressed.shape[0])  # report what actually ran
         sec = time_fn(self._jit_run, state, impulses, iters=iters)
         report = StageReport(
             grid=f"{self.config.nx}x{self.config.ny}", steps=steps, total_s=sec
@@ -123,7 +125,9 @@ class Simulation:
 
     def stage_timings(self, iters: int = 20) -> StageReport:
         """Out-of-band per-stage breakdown (jit each stage separately), the
-        analogue of the reference's per-stage averages (Main.cpp:195-206)."""
+        analogue of the reference's per-stage averages (Main.cpp:195-206).
+        Each sampled stage matches what the configured pipeline actually runs
+        (variant splat, fused 5-channel diffusion, multigrid vs Jacobi)."""
         cfg = self.config
         ops = self.ops
         state = self.init()
@@ -132,6 +136,37 @@ class Simulation:
         palette = jnp.asarray(cfg.palette_array())
         color = palette[0]
         pos = jnp.asarray([cfg.nx / 2.0, cfg.ny / 2.0], jnp.float32)
+
+        if cfg.color_diffusion_enabled:
+            coeffs = jnp.asarray(
+                [cfg.velocity_diffusion] * 2 + [cfg.color_diffusion] * 3,
+                jnp.float32,
+            )
+
+            def diffuse_stage(u, v, dye):
+                return ops.diffuse_multi(
+                    jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
+                    cfg.diffusion_iters,
+                )
+        else:
+            def diffuse_stage(u, v, dye):
+                return ops.diffuse(
+                    jnp.stack([u, v]), dt, cfg.velocity_diffusion,
+                    cfg.diffusion_iters,
+                )
+
+        splat = ops.splat_cpu if cfg.variant == "cpu" else ops.splat_gpu
+
+        if cfg.pressure_solver == "multigrid":
+            def pressure_stage(u, v):
+                return ops.pressure_solve_mg(
+                    ops.divergence(u, v, cfg.half_divergence), cfg.mg_cycles
+                )
+        else:
+            def pressure_stage(u, v):
+                return ops.pressure_solve(
+                    ops.divergence(u, v, cfg.half_divergence), cfg.pressure_iters
+                )
 
         stages = {
             "Advect": jax.jit(
@@ -145,26 +180,17 @@ class Simulation:
                 if cfg.variant == "cpu"
                 else ops.vorticity_confinement_gpu(u, v, dt, cfg.vorticity)
             ),
-            "Diffuse": jax.jit(
-                lambda u, v: ops.diffuse(
-                    jnp.stack([u, v]), dt, cfg.velocity_diffusion, cfg.diffusion_iters
-                )
-            ),
+            "Diffuse": jax.jit(diffuse_stage),
             "Force": jax.jit(
-                lambda u, v, dye: ops.splat_gpu(
+                lambda u, v, dye: splat(
                     u, v, dye, pos, pos, dt, cfg.force_scale, cfg.splat_radius, color
                 )
             ),
-            "Pressure": jax.jit(
-                lambda u, v: ops.pressure_solve(
-                    ops.divergence(u, v, cfg.half_divergence), cfg.pressure_iters
-                )
-            ),
+            "Pressure": jax.jit(pressure_stage),
             "Project": jax.jit(lambda u, v, p: ops.project(u, v, p)),
             "Paint": jax.jit(lambda dye: ops.pack_rgba(dye)),
         }
         if cfg.bloom_enabled:
-            rgba = ops.pack_rgba(dye)
             stages["Bloom"] = jax.jit(
                 lambda r: ops.apply_bloom(r, pos, cfg.bloom_intense, cfg.splat_radius)
             )
@@ -172,7 +198,7 @@ class Simulation:
         args = {
             "Advect": (u, v, dye),
             "Vorticity": (u, v),
-            "Diffuse": (u, v),
+            "Diffuse": (u, v, dye),
             "Force": (u, v, dye),
             "Pressure": (u, v),
             "Project": (u, v, p),

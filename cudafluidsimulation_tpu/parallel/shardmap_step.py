@@ -38,12 +38,7 @@ def _global_rows(shape, axis_name):
     return ys_i.astype(jnp.float32), ys_i
 
 
-def _gather_local(field, yi_rel, xi):
-    h, w = field.shape[-2], field.shape[-1]
-    flat = field.reshape(field.shape[:-2] + (h * w,))
-    idx = (yi_rel * w + xi).reshape(-1)
-    out = jnp.take(flat, idx, axis=-1)
-    return out.reshape(field.shape[:-2] + yi_rel.shape)
+_gather_local = ref._gather2d  # same flatten/take/reshape gather helper
 
 
 def _bilerp_sharded(field, u, v, dt, h_global, d, axis_name):
@@ -85,9 +80,11 @@ def sharded_ops(axis_name: str, h_global: int, d: int) -> types.SimpleNamespace:
 
     def advect_velocity(u, v, dt, decay_rate):
         decay = 1.0 / (1.0 + decay_rate * dt)
-        u2 = _bilerp_sharded(u, u, v, dt, h_global, d, axis_name) * decay
-        v2 = _bilerp_sharded(v, u, v, dt, h_global, d, axis_name) * decay
-        return u2, v2
+        # one stacked sample: a single d-row halo exchange and one set of
+        # backtrace/clip index computations for both components
+        uv = _bilerp_sharded(jnp.stack([u, v]), u, v, dt, h_global, d,
+                             axis_name) * decay
+        return uv[0], uv[1]
 
     def advect_dye(dye, u, v, dt, decay_rate):
         decay = 1.0 / (1.0 + decay_rate * dt)
@@ -244,8 +241,15 @@ def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
     if config.ny % n != 0:
         raise ValueError(f"ny={config.ny} not divisible by mesh axis {n}")
     hl = config.ny // n
-    d = min(config.max_displacement, hl)
-    return sharded_ops(axis_name, config.ny, d)
+    if hl < config.max_displacement:
+        # silently tightening the advection bound would make the same config
+        # produce different physics depending on device count
+        raise ValueError(
+            f"shard height {hl} is smaller than max_displacement="
+            f"{config.max_displacement}; use fewer shards, a taller grid, or "
+            f"a smaller max_displacement"
+        )
+    return sharded_ops(axis_name, config.ny, config.max_displacement)
 
 
 def make_shardmap_step(config: FluidConfig, mesh: Mesh, axis_name: str = "x"):

@@ -12,12 +12,20 @@ import numpy as np
 from cudafluidsimulation_tpu.state import FluidState
 
 
+def _norm(path: str) -> str:
+    # np.savez_compressed appends .npz itself; normalize so save and load
+    # agree for extensionless paths
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: FluidState) -> None:
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+    np.savez_compressed(
+        _norm(path), **{k: np.asarray(v) for k, v in state._asdict().items()}
+    )
 
 
 def load_state(path: str) -> FluidState:
     import jax.numpy as jnp
 
-    with np.load(path) as data:
+    with np.load(_norm(path)) as data:
         return FluidState(**{k: jnp.asarray(data[k]) for k in FluidState._fields})

@@ -119,6 +119,8 @@ struct FrameSink {
         fwrite(png.data(), 1, png.size(), f);
         fclose(f);
         written++;
+      } else {
+        dropped++;  // disk/permission failure: keep written+dropped == pushed
       }
       {
         std::lock_guard<std::mutex> lk(mu);
