@@ -213,13 +213,16 @@ def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))
-def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256, burst: int = 8):
+def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256,
+                   burst: int = 8, init: jnp.ndarray | None = None):
     """Exact ``iters``-sweep Jacobi pressure solve from p=0
-    (ref semantics: cpuFluidSim.cpp:236-258 / GPUFluidSim.cu:445-495)."""
+    (ref semantics: cpuFluidSim.cpp:236-258 / GPUFluidSim.cu:445-495).
+    ``init`` continues from an existing iterate instead (used by the
+    shard_map path to chain bursts across halo exchanges)."""
     h, w = div.shape
     if iters == 0:
-        return jnp.zeros_like(div)
-    p = jnp.zeros((1, h, w), jnp.float32)
+        return jnp.zeros_like(div) if init is None else init
+    p = (jnp.zeros((1, h, w), jnp.float32) if init is None else init[None])
     d = div[None]
     for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
         pi = _mirror_pad(p, h, w, hp, wp)

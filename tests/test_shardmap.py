@@ -99,3 +99,28 @@ def test_shardmap_rollout_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(st.dye), np.asarray(ref_final.dye), atol=5e-5, rtol=1e-4
     )
+
+
+@requires_multidevice
+def test_shardmap_with_pallas_bursts_matches_ref():
+    """backend='pallas' on the shard_map path: per-shard burst kernels with
+    k-deep mirror halo exchanges must match the sweep-by-sweep ref path."""
+    cfg_ref = mild_cfg()
+    cfg_pal = mild_cfg(backend="pallas")
+    mesh = make_mesh(8, ens=1)
+    imp = orbit_impulse(3, cfg_ref.dt, center=(64.0, 32.0), radius=10.0)
+
+    st_r = shard_state(init_state(cfg_ref), mesh)
+    st_p = shard_state(init_state(cfg_pal), mesh)
+    step_r = make_shardmap_step(cfg_ref, mesh)
+    step_p = make_shardmap_step(cfg_pal, mesh)
+    for i in range(3):
+        one = slice_step(imp, i)
+        st_r = step_r(st_r, one)
+        st_p = step_p(st_p, one)
+
+    for name in ("u", "v", "dye", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, name)), np.asarray(getattr(st_r, name)),
+            atol=5e-5, rtol=1e-4, err_msg=name,
+        )
