@@ -43,11 +43,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _advect_kernel(dt_ref, u_ref, v_ref, fm, fl, fh, out,
+def _advect_kernel(dt_ref, y0_ref, u_ref, v_ref, fm, fl, fh, out,
                    *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, c):
     i = pl.program_id(1)
     dt = dt_ref[0, 0]
-    y0 = i * r
+    # y0_ref holds the GLOBAL row coordinate of array row 0 (nonzero when a
+    # shard_map caller advects a halo-padded local view of a global field)
+    y0 = i * r + y0_ref[0, 0]
     he = r + 2 * hd
 
     ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
@@ -180,13 +182,20 @@ def supported(h: int, w: int, c: int, d: int) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d"))
+@functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d", "h_phys"))
 def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
-           decay_rate: float, mode: str = "field", d: int = 15) -> jnp.ndarray:
+           decay_rate: float, mode: str = "field", d: int = 15,
+           y0=0, h_phys: int = 0) -> jnp.ndarray:
     """Advect (C, H, W) ``fields`` through velocity (u, v) with the
     reference's decay semantics.  mode "dye" applies the
-    min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290)."""
+    min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290).
+
+    For shard-local views of a global field, ``y0`` (traced ok) is the global
+    row of array row 0 and ``h_phys`` the GLOBAL height used for tap
+    clamping; default 0 means "this array is the whole domain"."""
     c, h, w = fields.shape
+    if h_phys == 0:
+        h_phys = h
     hd = _halo(d)
     hp, wp, r, cb = _pad_geometry(h, w, c, hd)
     if (hp, wp) != (h, w):
@@ -201,6 +210,7 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     c_grid = c // cb
 
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+    y0_arr = jnp.asarray(y0, jnp.int32).reshape(1, 1)
 
     vm = pltpu.VMEM
     plane = pl.BlockSpec((1 * r, wp), lambda ci, i: (i, 0), memory_space=vm)
@@ -214,7 +224,7 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
 
     kern = functools.partial(
         _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=hp, w=wp, h_phys=h, w_phys=w, r=r, hd=hd, d=d, c=cb,
+        h=hp, w=wp, h_phys=h_phys, w_phys=w, r=r, hd=hd, d=d, c=cb,
     )
     out = pl.pallas_call(
         kern,
@@ -222,11 +232,12 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
         grid=(c_grid, n_strips),
         in_specs=[
             pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
             plane, plane, mid, lo, hi,
         ],
         out_specs=mid,
         interpret=_interpret(),
-    )(dt_arr, u_in, v_in, fields_in, fields_in, fields_in)
+    )(dt_arr, y0_arr, u_in, v_in, fields_in, fields_in, fields_in)
     return out[:, :h, :w]
 
 

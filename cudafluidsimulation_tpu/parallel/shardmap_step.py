@@ -84,8 +84,28 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     every sweep (see _pallas_jacobi_bursts for the exactness argument)."""
     ns = types.SimpleNamespace()
 
+    def _advect_pallas_local(fields, u, v, dt, decay_rate, mode):
+        """Run the single-chip pallas advect kernel on the d-halo-padded
+        local view: the kernel clamps taps against the GLOBAL domain via the
+        y0/h_phys offsets, so padded rows (sliced off afterwards) only waste
+        a little compute."""
+        from cudafluidsimulation_tpu.ops import advect_pallas
+
+        hl = u.shape[0]
+        fp = exchange_rows(fields, d, axis_name, edge="clamp")
+        up = exchange_rows(u, d, axis_name, edge="clamp")
+        vp = exchange_rows(v, d, axis_name, edge="clamp")
+        g0 = lax.axis_index(axis_name) * hl - d  # global row of padded row 0
+        out = advect_pallas.advect(fp, up, vp, dt, float(decay_rate), mode,
+                                   d, y0=g0, h_phys=h_global)
+        return out[:, d:-d, :]
+
     def advect_velocity(u, v, dt, decay_rate):
         decay = 1.0 / (1.0 + decay_rate * dt)
+        if use_pallas:
+            uv = _advect_pallas_local(jnp.stack([u, v]), u, v, dt, decay_rate,
+                                      "field")
+            return uv[0], uv[1]
         # one stacked sample: a single d-row halo exchange and one set of
         # backtrace/clip index computations for both components
         uv = _bilerp_sharded(jnp.stack([u, v]), u, v, dt, h_global, d,
@@ -94,6 +114,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
 
     def advect_dye(dye, u, v, dt, decay_rate):
         decay = 1.0 / (1.0 + decay_rate * dt)
+        if use_pallas:
+            return _advect_pallas_local(dye, u, v, dt, decay_rate, "dye")
         c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
