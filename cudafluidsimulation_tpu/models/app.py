@@ -66,12 +66,25 @@ class FluidApp:
         self.total_compute = 0.0
 
     def run(self, seconds: Optional[float] = None,
-            max_frames: Optional[int] = None) -> StageReport:
+            max_frames: Optional[int] = None,
+            pipelined: bool = False) -> StageReport:
+        """Run the frame loop.
+
+        ``pipelined`` overlaps the next step's dispatch with the previous
+        frame's device->host readback (one frame of display latency), which
+        hides most of the per-step dispatch overhead on high-latency
+        links; per-frame compute times then measure wall time per frame.
+        """
         t_start = time.perf_counter()
         last_t = t_start
         fps_window_start = t_start
         fps_frames = 0
         sim_t = 0.0
+        pending = None  # device frame awaiting readback (pipelined mode)
+
+        def emit(device_frame):
+            img = np.moveaxis(np.asarray(device_frame), 0, -1)[::-1]
+            self.frame_sink(img)
 
         while True:
             now = time.perf_counter()
@@ -89,13 +102,19 @@ class FluidApp:
 
             c0 = time.perf_counter()
             self.state = self.sim.step(self.state, imp)
+            frame = None
             if self.frame_sink is not None:
-                frame = self.sim.render(self.state)
-            jax.block_until_ready(self.state.u)
+                frame = self.sim._jit_render(self.state)
+            if pipelined:
+                if pending is not None:
+                    emit(pending)  # blocks on the PREVIOUS frame
+                pending = frame
+            else:
+                jax.block_until_ready(self.state.u)
             compute = time.perf_counter() - c0
 
-            if self.frame_sink is not None:
-                self.frame_sink(frame)
+            if not pipelined and frame is not None:
+                emit(frame)
 
             self.frames += 1
             fps_frames += 1
@@ -110,6 +129,9 @@ class FluidApp:
                 )
                 fps_window_start = now
                 fps_frames = 0
+
+        if pending is not None:
+            emit(pending)  # drain the pipelined tail frame
 
         report = StageReport(
             grid=f"{self.config.nx}x{self.config.ny}",

@@ -42,3 +42,15 @@ def test_app_with_native_sink(tmp_path):
         app.run(max_frames=5)
         sink.flush()
         assert sink.written + sink.dropped == 5
+
+
+def test_app_pipelined_mode():
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
+                                    diffusion_iters=2, pressure_iters=2)
+    frames = []
+    app = FluidApp(cfg, frame_sink=frames.append, fixed_dt=1 / 60)
+    app.run(max_frames=8, pipelined=True)
+    # every stepped frame is eventually emitted (incl. the drained tail)
+    assert len(frames) == 8
+    assert frames[-1].shape == (64, 64, 4)
+    assert any(f[..., :3].max() > 0 for f in frames)
