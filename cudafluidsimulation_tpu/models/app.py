@@ -83,8 +83,7 @@ class FluidApp:
         pending = None  # device frame awaiting readback (pipelined mode)
 
         def emit(device_frame):
-            img = np.moveaxis(np.asarray(device_frame), 0, -1)[::-1]
-            self.frame_sink(img)
+            self.frame_sink(Simulation.frame_image(device_frame))
 
         while True:
             now = time.perf_counter()
@@ -105,11 +104,16 @@ class FluidApp:
             frame = None
             if self.frame_sink is not None:
                 frame = self.sim._jit_render(self.state)
-            if pipelined:
+            measured = True
+            if pipelined and frame is not None:
                 if pending is not None:
                     emit(pending)  # blocks on the PREVIOUS frame
+                else:
+                    measured = False  # first frame: nothing to block on yet
                 pending = frame
             else:
+                # without a sink there is nothing to pipeline against; always
+                # synchronize so the host cannot run unboundedly ahead
                 jax.block_until_ready(self.state.u)
             compute = time.perf_counter() - c0
 
@@ -118,9 +122,10 @@ class FluidApp:
 
             self.frames += 1
             fps_frames += 1
-            self.total_compute += compute
-            self.min_compute = min(self.min_compute, compute)
-            self.max_compute = max(self.max_compute, compute)
+            if measured:
+                self.total_compute += compute
+                self.min_compute = min(self.min_compute, compute)
+                self.max_compute = max(self.max_compute, compute)
 
             if now - fps_window_start >= 0.5:  # 2 Hz readout, Main.cpp:143
                 self.log(

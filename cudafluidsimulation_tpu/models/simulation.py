@@ -75,11 +75,16 @@ class Simulation:
 
     # -- rendering ----------------------------------------------------------
 
+    @staticmethod
+    def frame_image(device_frame, flip: bool = True) -> np.ndarray:
+        """(4, H, W) device frame -> uint8 (H, W, 4) host image (y-up at the
+        top when ``flip``) — the ONE place the layout/flip convention lives."""
+        img = np.moveaxis(np.asarray(device_frame), 0, -1)
+        return img[::-1] if flip else img
+
     def render(self, state: FluidState, flip: bool = True) -> np.ndarray:
         """uint8 (H, W, 4) frame; ``flip`` puts y-up at image top for viewing."""
-        rgba = np.asarray(self._jit_render(state))  # (4, H, W)
-        img = np.moveaxis(rgba, 0, -1)
-        return img[::-1] if flip else img
+        return self.frame_image(self._jit_render(state), flip)
 
     def collect_frames(
         self, state: FluidState, impulses: Impulse, every: int = 1
@@ -97,7 +102,7 @@ class Simulation:
             end = min(start + every, n)
             part = Impulse(*(f[start:end] for f in impulses))
             state = self._jit_run(state, part)
-            frames.append(np.moveaxis(np.asarray(self._jit_render(state)), 0, -1)[::-1])
+            frames.append(self.frame_image(self._jit_render(state)))
             start = end
         return state, np.stack(frames)  # (N, H, W, 4), y-up
 

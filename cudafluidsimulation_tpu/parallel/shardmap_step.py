@@ -84,38 +84,48 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     every sweep (see _pallas_jacobi_bursts for the exactness argument)."""
     ns = types.SimpleNamespace()
 
-    def _advect_pallas_local(fields, u, v, dt, decay_rate, mode):
+    def _advect_pallas_local(fields, up, vp, dt, decay_rate, mode):
         """Run the single-chip pallas advect kernel on the d-halo-padded
         local view: the kernel clamps taps against the GLOBAL domain via the
         y0/h_phys offsets, so padded rows (sliced off afterwards) only waste
-        a little compute."""
+        a little compute.  ``up``/``vp`` are already padded — their halo rows
+        only influence discarded output, so zero padding suffices there."""
         from cudafluidsimulation_tpu.ops import advect_pallas
 
-        hl = u.shape[0]
+        hl = up.shape[0] - 2 * d
         fp = exchange_rows(fields, d, axis_name, edge="clamp")
-        up = exchange_rows(u, d, axis_name, edge="clamp")
-        vp = exchange_rows(v, d, axis_name, edge="clamp")
         g0 = lax.axis_index(axis_name) * hl - d  # global row of padded row 0
         out = advect_pallas.advect(fp, up, vp, dt, float(decay_rate), mode,
                                    d, y0=g0, h_phys=h_global)
         return out[:, d:-d, :]
 
     def advect_velocity(u, v, dt, decay_rate):
-        decay = 1.0 / (1.0 + decay_rate * dt)
         if use_pallas:
-            uv = _advect_pallas_local(jnp.stack([u, v]), u, v, dt, decay_rate,
-                                      "field")
+            # the one d-deep exchange of the sampled stack doubles as the
+            # padded velocity for the backtrace positions
+            fp = exchange_rows(jnp.stack([u, v]), d, axis_name, edge="clamp")
+            from cudafluidsimulation_tpu.ops import advect_pallas
+
+            hl = u.shape[0]
+            g0 = lax.axis_index(axis_name) * hl - d
+            out = advect_pallas.advect(fp, fp[0], fp[1], dt,
+                                       float(decay_rate), "field", d,
+                                       y0=g0, h_phys=h_global)
+            uv = out[:, d:-d, :]
             return uv[0], uv[1]
         # one stacked sample: a single d-row halo exchange and one set of
         # backtrace/clip index computations for both components
+        decay = 1.0 / (1.0 + decay_rate * dt)
         uv = _bilerp_sharded(jnp.stack([u, v]), u, v, dt, h_global, d,
                              axis_name) * decay
         return uv[0], uv[1]
 
     def advect_dye(dye, u, v, dt, decay_rate):
-        decay = 1.0 / (1.0 + decay_rate * dt)
         if use_pallas:
-            return _advect_pallas_local(dye, u, v, dt, decay_rate, "dye")
+            zpad = [(d, d), (0, 0)]
+            return _advect_pallas_local(dye, jnp.pad(u, zpad), jnp.pad(v, zpad),
+                                        dt, decay_rate, "dye")
+        decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
@@ -158,7 +168,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         out, _ = lax.scan(sweep, fields, None, length=iters)
         return out
 
-    def _pallas_jacobi_bursts(fields, run_burst, iters, k):
+    def _pallas_jacobi_bursts(fields, run_burst, iters, k, rhs=None):
         """Exchange a k-row halo once per k local pallas sweeps.
 
         The local burst kernel mirror-fills ITS array edges; for interior
@@ -167,14 +177,26 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         rows sliced off — while for true domain edges the clamp-equivalent
         mirror is the correct Neumann ghost.  Net: bit-exact global Jacobi
         with 1/k-th the ICI exchanges of the sweep-by-sweep path.
+
+        ``rhs`` (e.g. the pressure divergence) is constant across bursts, so
+        its halo is exchanged ONCE at full depth and sliced down for a
+        smaller final partial chunk.
         """
         squeeze = fields.ndim == 2
         x = fields[None] if squeeze else fields
+        rp = None
+        if rhs is not None:
+            k = min(k, iters)
+            rp = exchange_rows(rhs, k, axis_name, edge="mirror")
         left = iters
         while left > 0:
             kk = min(k, left)
             xp = exchange_rows(x, kk, axis_name, edge="mirror")
-            xp = run_burst(xp, kk)
+            if rhs is None:
+                xp = run_burst(xp, kk)
+            else:
+                rr = rp if kk == k else rp[..., k - kk : kk - k, :]
+                xp = run_burst(xp, rr, kk)
             x = xp[..., kk:-kk, :]
             left -= kk
         return x[0] if squeeze else x
@@ -212,16 +234,13 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         if use_pallas:
             from cudafluidsimulation_tpu.ops import jacobi_pallas
 
-            p = jnp.zeros_like(div)
-            left = iters
-            while left > 0:
-                kk = min(pallas_burst, left)
-                pp = exchange_rows(p, kk, axis_name, edge="mirror")
-                dd = exchange_rows(div, kk, axis_name, edge="mirror")
-                out = jacobi_pallas.pressure_solve(dd, kk, burst=kk, init=pp)
-                p = out[kk:-kk, :]
-                left -= kk
-            return p
+            def burst(pp, dd, kk):
+                # the shared loop threads (1, H, W); the kernel API is 2-D
+                return jacobi_pallas.pressure_solve(dd, kk, burst=kk,
+                                                    init=pp[0])[None]
+
+            return _pallas_jacobi_bursts(jnp.zeros_like(div), burst, iters,
+                                         pallas_burst, rhs=div)
 
         def sweep(p, _):
             pp = exchange_rows(p, 1, axis_name)
@@ -326,9 +345,22 @@ def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
             f"{config.max_displacement}; use fewer shards, a taller grid, or "
             f"a smaller max_displacement"
         )
+    use_pallas = config.resolve_backend() == "pallas"
+    if use_pallas:
+        # gate on the LOCAL shard geometry the kernels will actually see
+        # (the single-chip backend performs the same per-op gating)
+        from cudafluidsimulation_tpu.ops import advect_pallas, jacobi_pallas
+        import dataclasses
+
+        k = min(config.jacobi_burst, hl)
+        local_jac = dataclasses.replace(config, ny=hl + 2 * k)
+        d = config.max_displacement
+        use_pallas = jacobi_pallas.supported(local_jac) and advect_pallas.supported(
+            hl + 2 * d, config.nx, 3, d
+        )
     return sharded_ops(
         axis_name, config.ny, config.max_displacement,
-        use_pallas=(config.resolve_backend() == "pallas"),
+        use_pallas=use_pallas,
         pallas_burst=min(config.jacobi_burst, hl),
     )
 
@@ -345,7 +377,9 @@ def make_shardmap_step(config: FluidConfig, mesh: Mesh, axis_name: str = "x"):
     imp_spec = Impulse(pos=P(None), last_pos=P(None), pressed=P(), dt=P())
     sharded = shard_map(
         step, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss,
-        check_vma=False,  # pallas_call outputs carry no vma annotation
+        # pallas_call outputs carry no vma annotation; keep the check on for
+        # the pure-jnp op set
+        check_vma=(config.resolve_backend() != "pallas"),
     )
     return jax.jit(sharded)
 
@@ -368,6 +402,8 @@ def make_shardmap_rollout(config: FluidConfig, mesh: Mesh, axis_name: str = "x")
                        pressed=P(None), dt=P(None))
     sharded = shard_map(
         run, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss,
-        check_vma=False,  # pallas_call outputs carry no vma annotation
+        # pallas_call outputs carry no vma annotation; keep the check on for
+        # the pure-jnp op set
+        check_vma=(config.resolve_backend() != "pallas"),
     )
     return jax.jit(sharded)
