@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--frames-dir", default="", help="dump PNG frames here")
     p.add_argument("--frame-every", type=int, default=10)
+    p.add_argument("--apng", default="",
+                   help="write the collected frames as one animated PNG")
+    p.add_argument("--apng-fps", type=float, default=30.0)
     p.add_argument("--save-fields", default="", help="npz path for final fields")
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--resume", default="", help="resume from a state checkpoint")
@@ -144,15 +147,16 @@ def main(argv=None) -> int:
 
     import jax
 
+    collect = bool(args.frames_dir or args.apng)
     t0 = time.perf_counter()
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
-            if args.frames_dir:
+            if collect:
                 state, frames = sim.collect_frames(state, imp, every=args.frame_every)
             else:
                 state = sim.run(state, imp)
             jax.block_until_ready(state)
-    elif args.frames_dir:
+    elif collect:
         state, frames = sim.collect_frames(state, imp, every=args.frame_every)
     else:
         state = sim.run(state, imp)
@@ -164,6 +168,12 @@ def main(argv=None) -> int:
         for i, frame in enumerate(frames):
             write_png(os.path.join(args.frames_dir, f"frame_{i:05d}.png"), frame)
         print(f"wrote {len(frames)} frames to {args.frames_dir}")
+
+    if args.apng:
+        from cudafluidsimulation_tpu.utils.png import write_apng
+
+        write_apng(args.apng, list(frames), fps=args.apng_fps)
+        print(f"wrote {len(frames)}-frame animation to {args.apng}")
 
     if args.save_fields:
         np.savez_compressed(

@@ -111,3 +111,34 @@ def test_stage_timing_report():
         assert name in rep.stage_ms
     text = rep.format()
     assert "SIMULATION END" in text
+
+
+def test_apng_writer(tmp_path, rng):
+    from cudafluidsimulation_tpu.utils.png import write_apng
+
+    frames = [rng.integers(0, 255, (16, 24, 4), dtype=np.uint8) for _ in range(4)]
+    path = str(tmp_path / "anim.png")
+    write_apng(path, frames, fps=20)
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert data.count(b"fcTL") == 4  # one frame-control per frame
+    assert data.count(b"fdAT") == 3  # frames 2..4 as fdAT
+    import struct as _s
+
+    actl = data.index(b"acTL") + 4
+    n_frames, loops = _s.unpack(">II", data[actl:actl + 8])
+    assert (n_frames, loops) == (4, 0)
+
+
+def test_cli_apng(tmp_path):
+    from cudafluidsimulation_tpu.cli import main
+
+    out = tmp_path / "run.png"
+    rc = main([
+        "--grid", "64", "--steps", "12", "--backend", "ref",
+        "--impulse", "center", "--frame-every", "4", "--apng", str(out),
+        "--diffusion-iters", "2", "--pressure-iters", "2",
+    ])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data.count(b"fcTL") == 3
