@@ -36,15 +36,27 @@ def main():
     sim = Simulation(cfg)
     imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8, omega=3.0)
 
-    state = sim.init()
-    run = sim._jit_run
-    jax.block_until_ready(run(state, imp))  # compile
-    times = []
-    for _ in range(timing_iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(state, imp))
-        times.append(time.perf_counter() - t0)
-    sec = sorted(times)[len(times) // 2]
+    # the TPU tunnel in this environment occasionally drops a request with a
+    # transient UNAVAILABLE device error; retry rather than losing the round's
+    # benchmark to an infrastructure flake
+    last_err = None
+    for attempt in range(3):
+        try:
+            state = sim.init()
+            run = sim._jit_run
+            jax.block_until_ready(run(state, imp))  # compile
+            times = []
+            for _ in range(timing_iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(state, imp))
+                times.append(time.perf_counter() - t0)
+            sec = sorted(times)[len(times) // 2]
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            last_err = e
+            time.sleep(10)
+    else:
+        raise last_err
     steps_per_sec = steps / sec
 
     gcell = steps_per_sec * n * n / 1e9
