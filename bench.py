@@ -50,7 +50,9 @@ def main():
                 t0 = time.perf_counter()
                 jax.block_until_ready(run(state, imp))
                 times.append(time.perf_counter() - t0)
-            sec = sorted(times)[len(times) // 2]
+            # best-of, not median: the tunnel intermittently stalls whole
+            # multi-second windows, and best-of resists that
+            sec = min(times)
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             last_err = e
