@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pressure-iters", type=int, default=-1,
                    help="-1 = variant default (cpu:5, gpu:30)")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
+    p.add_argument("--impulse-file", default="",
+                   help="JSON impulse script ([x,y,pressed] per step or "
+                   "{pos,pressed,dt} dicts); overrides --impulse/--steps")
     p.add_argument("--frames-dir", default="", help="dump PNG frames here")
     p.add_argument("--frame-every", type=int, default=10)
     p.add_argument("--apng", default="",
@@ -90,7 +93,10 @@ def main(argv=None) -> int:
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 
-    if args.impulse == "orbit":
+    if args.impulse_file:
+        imp = imps.impulse_from_file(args.impulse_file, cfg.dt)
+        args.steps = int(imp.pressed.shape[0])
+    elif args.impulse == "orbit":
         imp = imps.orbit_impulse(args.steps, cfg.dt, center=(nx / 2, ny / 2),
                                  radius=min(nx, ny) / 8, omega=3.0)
     elif args.impulse == "center":

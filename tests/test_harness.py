@@ -142,3 +142,38 @@ def test_cli_apng(tmp_path):
     assert rc == 0
     data = out.read_bytes()
     assert data.count(b"fcTL") == 3
+
+
+def test_impulse_from_file(tmp_path):
+    import json
+
+    from cudafluidsimulation_tpu.utils.impulse import impulse_from_file
+
+    path = tmp_path / "script.json"
+    path.write_text(json.dumps([
+        [10.0, 20.0, True],
+        [12.0, 21.0, True],
+        {"pos": [14.0, 22.0], "pressed": False, "dt": 0.02},
+    ]))
+    imp = impulse_from_file(str(path), dt=1 / 60)
+    assert imp.pos.shape == (3, 2)
+    np.testing.assert_allclose(np.asarray(imp.last_pos[0]), [10.0, 20.0])
+    np.testing.assert_allclose(np.asarray(imp.last_pos[2]), [12.0, 21.0])
+    assert not bool(imp.pressed[2])
+    np.testing.assert_allclose(float(imp.dt[2]), 0.02)
+
+
+def test_cli_impulse_file(tmp_path):
+    import json
+
+    from cudafluidsimulation_tpu.cli import main
+
+    script = tmp_path / "s.json"
+    script.write_text(json.dumps([[32.0, 32.0, True]] * 8))
+    fields = tmp_path / "f.npz"
+    rc = main(["--grid", "64", "--backend", "ref", "--impulse-file", str(script),
+               "--diffusion-iters", "2", "--pressure-iters", "2",
+               "--save-fields", str(fields)])
+    assert rc == 0
+    with np.load(fields) as d:
+        assert np.abs(d["dye"]).max() > 0
