@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--resume", default="", help="resume from a state checkpoint")
     p.add_argument("--report", action="store_true", help="per-stage timing report")
+    p.add_argument("--health", nargs="?", const=0.0, type=float, default=None,
+                   metavar="MAX_SPEED",
+                   help="check field health between segments (NaN/Inf always; "
+                   "velocity blow-up when MAX_SPEED > 0) — fails fast naming "
+                   "the bad segment instead of only at the end")
+    p.add_argument("--health-every", type=int, default=100,
+                   help="steps per health-check segment")
     p.add_argument("--report-mode", choices=["sampled", "instrumented"],
                    default="sampled",
                    help="sampled = out-of-band stage timing (fast); "
@@ -118,10 +125,16 @@ def main(argv=None) -> int:
     if args.view == "term":
         # interactive-style frame loop with live ANSI rendering; honors the
         # chosen impulse script and the save/checkpoint flags
-        from cudafluidsimulation_tpu.models.app import FluidApp, orbit_source
+        from cudafluidsimulation_tpu.models.app import (
+            FluidApp, orbit_source, replay_source,
+        )
         from cudafluidsimulation_tpu.utils.term_view import TermViewer
 
-        if args.impulse == "orbit":
+        if args.impulse_file:
+            # replay the loaded script frame-by-frame (dt comes from the
+            # frame loop; see models.app.replay_source)
+            source = replay_source(imp)
+        elif args.impulse == "orbit":
             source = orbit_source(cfg)
         elif args.impulse == "center":
             def source(t, _c=(nx / 2.0, ny / 2.0)):
@@ -132,6 +145,9 @@ def main(argv=None) -> int:
 
         if args.frames_dir:
             print("note: --frames-dir is ignored with --view term "
+                  "(frames go to the terminal)")
+        if args.apng:
+            print("note: --apng is ignored with --view term "
                   "(frames go to the terminal)")
         app = FluidApp(cfg, input_source=source,
                        frame_sink=TermViewer(), fixed_dt=args.dt)
@@ -151,23 +167,62 @@ def main(argv=None) -> int:
         print(report.format())
         return 0
 
+    import contextlib
+
     import jax
 
+    from cudafluidsimulation_tpu.utils.health import check_health
+    from cudafluidsimulation_tpu.utils.impulse import Impulse
+
     collect = bool(args.frames_dir or args.apng)
-    t0 = time.perf_counter()
-    if args.profile_dir:
-        with jax.profiler.trace(args.profile_dir):
-            if collect:
-                state, frames = sim.collect_frames(state, imp, every=args.frame_every)
-            else:
-                state = sim.run(state, imp)
-            jax.block_until_ready(state)
-    elif collect:
-        state, frames = sim.collect_frames(state, imp, every=args.frame_every)
+    health_on = args.health is not None
+    max_speed = args.health if (health_on and args.health > 0) else None
+
+    # One segmented rollout serves frame collection, between-segment health
+    # checks, and min/max frame-time accounting (Main.cpp:199-200's analog);
+    # with none of those active it is a single full-length scan.
+    n_total = int(imp.pressed.shape[0])
+    if collect:
+        seg = max(1, args.frame_every)
+    elif health_on:
+        seg = max(1, args.health_every)
+    elif args.report:
+        seg = max(1, -(-n_total // 10))
     else:
-        state = sim.run(state, imp)
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t0
+        seg = max(1, n_total)
+
+    frames = []
+    seg_stats = []  # (wall seconds, steps) per compiled segment
+
+    profile_ctx = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+                   else contextlib.nullcontext())
+    with profile_ctx:
+        if seg < n_total:
+            # compile the segment scan outside the timed loop so Max frame
+            # measures steady-state, not the first compile
+            warm = Impulse(*(f[:seg] for f in imp))
+            jax.block_until_ready(sim.run(state, warm).u)
+        t0 = time.perf_counter()
+        start = 0
+        while start < n_total:
+            end = min(start + seg, n_total)
+            part = Impulse(*(f[start:end] for f in imp))
+            s0 = time.perf_counter()
+            state = sim.run(state, part)
+            jax.block_until_ready(state.u)
+            seg_stats.append((time.perf_counter() - s0, end - start))
+            if collect:
+                frames.append(sim.frame_image(sim._jit_render(state)))
+            if health_on:
+                from cudafluidsimulation_tpu.utils.health import HealthError
+
+                try:
+                    check_health(state, max_speed=max_speed)
+                except HealthError as e:
+                    raise SystemExit(f"health check failed: {e}")
+            start = end
+        wall = time.perf_counter() - t0
+    frames = np.stack(frames) if frames else frames
 
     if args.frames_dir:
         os.makedirs(args.frames_dir, exist_ok=True)
@@ -194,6 +249,11 @@ def main(argv=None) -> int:
         print(f"saved checkpoint to {args.checkpoint}")
 
     rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
+    if len(seg_stats) > 1:
+        # per-step min/max over steady-state segments (Main.cpp:199-200)
+        per_step = [w / k for w, k in seg_stats]
+        rep.stage_ms["Min frame"] = 1000.0 * min(per_step)
+        rep.stage_ms["Max frame"] = 1000.0 * max(per_step)
     if args.report:
         if args.report_mode == "instrumented":
             from cudafluidsimulation_tpu.utils.instrument import run_instrumented

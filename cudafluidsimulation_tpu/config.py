@@ -114,9 +114,14 @@ class FluidConfig:
     # Pallas tuning: rows per Jacobi block and sweeps fused per HBM round trip.
     block_rows: int = 256
     jacobi_burst: int = 8
-    # Pallas advection displacement bound (cells/step): backtraces beyond this
-    # clamp to +/-max_displacement.  The ref backend is unbounded (exact
-    # reference parity); see ops/advect_pallas.py.
+    # Advection displacement bound (cells/step) for the pallas kernel AND the
+    # shard_map halo-exchange path (whose halo depth it sizes — both backends
+    # clamp backtrace taps to +/-max_displacement there).  Only the
+    # single-chip ref backend is unbounded (exact reference parity); the same
+    # backend="ref" config therefore differs single-chip vs sharded wherever
+    # |velocity|*dt exceeds this bound.  See ops/advect_pallas.py and
+    # parallel/shardmap_step.py; utils/health.py can flag clamped backtraces
+    # via its max-speed check.
     max_displacement: int = 15
 
     def __post_init__(self):

@@ -45,6 +45,32 @@ def orbit_source(cfg: FluidConfig, radius_frac: float = 0.125,
     return src
 
 
+def replay_source(imp) -> InputSource:
+    """Replay a scripted :class:`~..utils.impulse.Impulse` stream by frame
+    index — lets ``--impulse-file`` scripts drive the interactive-style frame
+    loop (term view).  Frames past the script's end release the press.
+
+    The frame loop supplies its own dt (fixed or wall-clock), so any per-step
+    dt recorded in the script is ignored here; replay through
+    ``Simulation.run`` for exact dt reproduction.
+    """
+    pos = np.asarray(imp.pos, np.float32)
+    last = np.asarray(imp.last_pos, np.float32)
+    pressed = np.asarray(imp.pressed, bool)
+    n = pos.shape[0]
+    counter = {"i": 0}
+
+    def src(t: float):
+        i = counter["i"]
+        counter["i"] = i + 1
+        if i >= n:
+            tail = tuple(pos[-1])
+            return tail, tail, False
+        return tuple(pos[i]), tuple(last[i]), bool(pressed[i])
+
+    return src
+
+
 class FluidApp:
     """Frame-driven run loop with real dt and live frame emission."""
 

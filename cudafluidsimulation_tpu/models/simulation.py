@@ -19,7 +19,7 @@ from cudafluidsimulation_tpu.models.pipelines import make_render, make_step
 from cudafluidsimulation_tpu.ops.backend import get_ops
 from cudafluidsimulation_tpu.state import FluidState, init_state
 from cudafluidsimulation_tpu.utils.impulse import Impulse, no_impulse
-from cudafluidsimulation_tpu.utils.timing import StageReport, time_fn
+from cudafluidsimulation_tpu.utils.timing import StageReport, time_fn, time_scanned
 
 
 def run_scan(step_fn, state: FluidState, impulses: Impulse) -> FluidState:
@@ -128,11 +128,20 @@ class Simulation:
         )
         return report
 
-    def stage_timings(self, iters: int = 20) -> StageReport:
-        """Out-of-band per-stage breakdown (jit each stage separately), the
-        analogue of the reference's per-stage averages (Main.cpp:195-206).
-        Each sampled stage matches what the configured pipeline actually runs
-        (variant splat, fused 5-channel diffusion, multigrid vs Jacobi)."""
+    def stage_timings(self, iters: int = 24) -> StageReport:
+        """Out-of-band per-stage breakdown, the analogue of the reference's
+        per-stage averages (Main.cpp:195-206).  Each sampled stage matches
+        what the configured pipeline actually runs (variant splat, fused
+        5-channel diffusion, multigrid vs Jacobi).
+
+        Each stage is timed as ONE jitted ``lax.scan`` of ``iters``
+        applications with the stage output threaded back into its input
+        (utils.timing.time_scanned) — single-dispatch-per-stage timing is
+        untrustworthy through this environment's 25-40 ms relay latency.
+        Stages whose carry does not naturally close over their output mix it
+        in with ``x + eps * y`` where eps is a traced runtime-0.0 scalar, so
+        the measured numerics are unchanged but XLA cannot hoist the loop
+        body."""
         cfg = self.config
         ops = self.ops
         state = self.init()
@@ -148,73 +157,82 @@ class Simulation:
                 jnp.float32,
             )
 
-            def diffuse_stage(u, v, dye):
-                return ops.diffuse_multi(
+            def diffuse_body(c, eps):
+                u, v, dye = c
+                all5 = ops.diffuse_multi(
                     jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
                     cfg.diffusion_iters,
                 )
+                return all5[0], all5[1], all5[2:]
         else:
-            def diffuse_stage(u, v, dye):
-                return ops.diffuse(
+            def diffuse_body(c, eps):
+                u, v, dye = c
+                uv = ops.diffuse(
                     jnp.stack([u, v]), dt, cfg.velocity_diffusion,
                     cfg.diffusion_iters,
                 )
+                return uv[0], uv[1], dye + eps
 
         splat = ops.splat_cpu if cfg.variant == "cpu" else ops.splat_gpu
 
         if cfg.pressure_solver == "multigrid":
-            def pressure_stage(u, v):
-                return ops.pressure_solve_mg(
-                    ops.divergence(u, v, cfg.half_divergence), cfg.mg_cycles
-                )
+            def solve(div):
+                return ops.pressure_solve_mg(div, cfg.mg_cycles)
         else:
-            def pressure_stage(u, v):
-                return ops.pressure_solve(
-                    ops.divergence(u, v, cfg.half_divergence), cfg.pressure_iters
-                )
+            def solve(div):
+                return ops.pressure_solve(div, cfg.pressure_iters)
+
+        vort = (ops.vorticity_confinement_cpu if cfg.variant == "cpu"
+                else ops.vorticity_confinement_gpu)
+
+        def advect_body(c, eps):
+            u, v, dye = c
+            u2, v2 = ops.advect_velocity(u, v, dt, cfg.decay_rate)
+            return u2, v2, ops.advect_dye(dye, u2, v2, dt, cfg.decay_rate)
+
+        def vorticity_body(c, eps):
+            return vort(c[0], c[1], dt, cfg.vorticity)
+
+        def force_body(c, eps):
+            return splat(*c, pos, pos, dt, cfg.force_scale, cfg.splat_radius,
+                         color)
+
+        def pressure_body(c, eps):
+            u, v, p = c
+            # eps*p makes the (otherwise loop-invariant) divergence input
+            # depend on the previous iterate's output
+            p2 = solve(ops.divergence(u + eps * p, v, cfg.half_divergence))
+            return u, v, p2
+
+        def project_body(c, eps):
+            u, v, p = c
+            u2, v2 = ops.project(u, v, p)
+            return u2, v2, p + eps
+
+        def paint_body(c, eps):
+            dye, s = c
+            rgba = ops.pack_rgba(dye + eps * s)
+            return dye, rgba[0, :1, :1].astype(jnp.float32)
 
         stages = {
-            "Advect": jax.jit(
-                lambda u, v, dye: (
-                    ops.advect_dye(dye, *ops.advect_velocity(u, v, dt, cfg.decay_rate),
-                                   dt, cfg.decay_rate)
-                )
-            ),
-            "Vorticity": jax.jit(
-                lambda u, v: ops.vorticity_confinement_cpu(u, v, dt, cfg.vorticity)
-                if cfg.variant == "cpu"
-                else ops.vorticity_confinement_gpu(u, v, dt, cfg.vorticity)
-            ),
-            "Diffuse": jax.jit(diffuse_stage),
-            "Force": jax.jit(
-                lambda u, v, dye: splat(
-                    u, v, dye, pos, pos, dt, cfg.force_scale, cfg.splat_radius, color
-                )
-            ),
-            "Pressure": jax.jit(pressure_stage),
-            "Project": jax.jit(lambda u, v, p: ops.project(u, v, p)),
-            "Paint": jax.jit(lambda dye: ops.pack_rgba(dye)),
+            "Advect": (advect_body, (u, v, dye)),
+            "Vorticity": (vorticity_body, (u, v)),
+            "Diffuse": (diffuse_body, (u, v, dye)),
+            "Force": (force_body, (u, v, dye)),
+            "Pressure": (pressure_body, (u, v, p)),
+            "Project": (project_body, (u, v, p)),
+            "Paint": (paint_body, (dye, jnp.zeros((1, 1), jnp.float32))),
         }
         if cfg.bloom_enabled:
-            stages["Bloom"] = jax.jit(
-                lambda r: ops.apply_bloom(r, pos, cfg.bloom_intense, cfg.splat_radius)
-            )
+            def bloom_body(rgba, eps):
+                return ops.apply_bloom(rgba, pos, cfg.bloom_intense,
+                                       cfg.splat_radius)
 
-        args = {
-            "Advect": (u, v, dye),
-            "Vorticity": (u, v),
-            "Diffuse": (u, v, dye),
-            "Force": (u, v, dye),
-            "Pressure": (u, v),
-            "Project": (u, v, p),
-            "Paint": (dye,),
-        }
-        if cfg.bloom_enabled:
-            args["Bloom"] = (ops.pack_rgba(dye),)
+            stages["Bloom"] = (bloom_body, ops.pack_rgba(dye))
 
         report = StageReport(grid=f"{cfg.nx}x{cfg.ny}", steps=iters, total_s=0.0)
-        for name, fn in stages.items():
-            sec = time_fn(fn, *args[name], iters=iters)
+        for name, (body, carry) in stages.items():
+            sec = time_scanned(body, carry, n=iters)
             report.stage_ms[name] = sec * 1000.0
             report.total_s += sec
         report.steps = 1

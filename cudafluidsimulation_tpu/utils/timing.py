@@ -47,7 +47,12 @@ class StageReport:
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall seconds per call of a jitted fn (blocks on the result)."""
+    """Median wall seconds per call of a jitted fn (blocks on the result).
+
+    NOTE: on the tunneled-TPU environment a single dispatch costs 25-40 ms of
+    relay latency, so this is only trustworthy for fns that are themselves
+    long scans.  For individual stages use :func:`time_scanned`, which runs
+    the stage n times inside ONE dispatch."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times: List[float] = []
@@ -57,3 +62,32 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def time_scanned(body, init_carry, n: int = 24, iters: int = 3,
+                 warmup: int = 1) -> float:
+    """Best-of wall seconds per application of ``body`` measured as one
+    jitted ``lax.scan`` of ``n`` applications (one dispatch amortizes the
+    relay's per-call latency; best-of resists its multi-second stalls).
+
+    ``body(carry, eps) -> carry`` must thread its output back into its input
+    so XLA cannot hoist or CSE the iterations; ``eps`` is a traced f32 scalar
+    that is 0.0 at runtime — mix loop-invariant operands with ``x + eps * y``
+    to create a formal (value-preserving) dependence on the previous
+    iteration.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(carry, epss):
+        return jax.lax.scan(lambda c, e: (body(c, e), None), carry, epss)[0]
+
+    epss = jnp.zeros((n,), jnp.float32)
+    for _ in range(warmup):
+        jax.block_until_ready(run(init_carry, epss))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(init_carry, epss))
+        best = min(best, time.perf_counter() - t0)
+    return best / n

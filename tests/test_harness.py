@@ -163,6 +163,68 @@ def test_impulse_from_file(tmp_path):
     np.testing.assert_allclose(float(imp.dt[2]), 0.02)
 
 
+def test_replay_source_replays_then_releases():
+    from cudafluidsimulation_tpu.models.app import replay_source
+    from cudafluidsimulation_tpu.utils.impulse import impulse_from_file
+
+    import json, tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump([[1.0, 2.0, True], [3.0, 4.0, False]], f)
+        path = f.name
+    src = replay_source(impulse_from_file(path, dt=1 / 60))
+    p1, l1, pr1 = src(0.0)
+    assert p1 == (1.0, 2.0) and l1 == (1.0, 2.0) and pr1
+    p2, l2, pr2 = src(0.1)
+    assert p2 == (3.0, 4.0) and l2 == (1.0, 2.0) and not pr2
+    p3, _, pr3 = src(0.2)  # past the script's end: press released
+    assert p3 == (3.0, 4.0) and not pr3
+    os.unlink(path)
+
+
+def test_cli_term_view_honors_impulse_file(tmp_path, capsys):
+    import json
+
+    from cudafluidsimulation_tpu.cli import main
+
+    script = tmp_path / "s.json"
+    script.write_text(json.dumps([[32.0, 32.0, True]] * 6))
+    fields = tmp_path / "f.npz"
+    rc = main(["--grid", "64", "--backend", "ref", "--view", "term",
+               "--impulse-file", str(script),
+               "--diffusion-iters", "2", "--pressure-iters", "2",
+               "--save-fields", str(fields)])
+    assert rc == 0
+    capsys.readouterr()  # drain the ANSI frames
+    with np.load(fields) as d:
+        # the replayed press must actually drive the sim (round-1 bug: the
+        # term branch silently rebuilt an orbit source instead)
+        assert np.abs(d["dye"]).max() > 0
+        assert np.abs(d["dye"][:, 28:36, 28:36]).max() > 0.1
+
+
+def test_cli_health_segments(tmp_path, capsys):
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "12", "--backend", "ref",
+               "--impulse", "center", "--health", "--health-every", "4",
+               "--diffusion-iters", "2", "--pressure-iters", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Min frame" in out and "Max frame" in out
+
+
+def test_cli_health_catches_blowup(tmp_path):
+    import pytest
+
+    from cudafluidsimulation_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="health check failed"):
+        main(["--grid", "64", "--steps", "12", "--backend", "ref",
+              "--impulse", "center", "--health", "1e-6", "--health-every", "4",
+              "--diffusion-iters", "2", "--pressure-iters", "2"])
+
+
 def test_cli_impulse_file(tmp_path):
     import json
 
