@@ -249,11 +249,6 @@ def main(argv=None) -> int:
         print(f"saved checkpoint to {args.checkpoint}")
 
     rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
-    if len(seg_stats) > 1:
-        # per-step min/max over steady-state segments (Main.cpp:199-200)
-        per_step = [w / k for w, k in seg_stats]
-        rep.stage_ms["Min frame"] = 1000.0 * min(per_step)
-        rep.stage_ms["Max frame"] = 1000.0 * max(per_step)
     if args.report:
         if args.report_mode == "instrumented":
             from cudafluidsimulation_tpu.utils.instrument import run_instrumented
@@ -262,6 +257,11 @@ def main(argv=None) -> int:
             rep.stage_ms = irep.stage_ms
         else:
             rep.stage_ms = sim.stage_timings().stage_ms
+    if len(seg_stats) > 1:
+        # per-step min/max over steady-state segments (Main.cpp:199-200)
+        per_step = [w / k for w, k in seg_stats]
+        rep.stage_ms["Min frame"] = 1000.0 * min(per_step)
+        rep.stage_ms["Max frame"] = 1000.0 * max(per_step)
     print(rep.format())
     return 0
 

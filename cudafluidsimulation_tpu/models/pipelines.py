@@ -91,12 +91,16 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         dye = jnp.where(pressed, sdye, dye)
 
         # -- pressure projection
-        div = ops.divergence(u, v, config.half_divergence)
         if config.pressure_solver == "multigrid":
+            div = ops.divergence(u, v, config.half_divergence)
             p = ops.pressure_solve_mg(div, config.mg_cycles)
+            u, v = ops.project(u, v, p)
         else:
-            p = ops.pressure_solve(div, config.pressure_iters)
-        u, v = ops.project(u, v, p)
+            # single fused op (divergence folded into the first pressure
+            # burst, projection into the last on the pallas backend)
+            u, v, p = ops.pressure_project(
+                u, v, config.pressure_iters, config.half_divergence
+            )
 
         # -- boundary strip (cpu path only)
         if config.boundary_rows > 0:

@@ -128,7 +128,8 @@ class Simulation:
         )
         return report
 
-    def stage_timings(self, iters: int = 24) -> StageReport:
+    def stage_timings(self, iters: int = 24,
+                      state: Optional[FluidState] = None) -> StageReport:
         """Out-of-band per-stage breakdown, the analogue of the reference's
         per-stage averages (Main.cpp:195-206).  Each sampled stage matches
         what the configured pipeline actually runs (variant splat, fused
@@ -144,7 +145,8 @@ class Simulation:
         body."""
         cfg = self.config
         ops = self.ops
-        state = self.init()
+        if state is None:
+            state = self.init()
         dt = jnp.float32(cfg.dt)
         u, v, dye, p = state.u, state.v, state.dye, state.pressure
         palette = jnp.asarray(cfg.palette_array())

@@ -26,6 +26,7 @@ _OP_NAMES = [
     "divergence",
     "pressure_solve",
     "pressure_solve_mg",
+    "pressure_project",
     "project",
     "splat_cpu",
     "splat_gpu",

@@ -139,10 +139,13 @@ def _halo_depth(k: int) -> int:
     return max(_SUBLANE, -(-k // _SUBLANE) * _SUBLANE)
 
 
-def _pick_block_rows(h: int, hd: int, w: int, requested: int) -> int:
+def _pick_block_rows(h: int, hd: int, w: int, requested: int,
+                     planes: int = 4) -> int:
     """Largest strip height <= requested that divides H, is a multiple of the
-    halo depth, and keeps the working set comfortably inside VMEM."""
-    budget_rows = max(hd, int((6 * 1024 * 1024) / (4 * w * 4)))
+    halo depth, and keeps the working set comfortably inside VMEM.
+    ``planes`` = number of live f32 strip-sized planes the kernel holds
+    (4 for the plain sweep kernels; 8 for the fused div/project kernels)."""
+    budget_rows = max(hd, int((6 * 1024 * 1024) / (planes * w * 4)))
     r = min(requested, budget_rows)
     r = max(hd, (r // hd) * hd)
     while r >= hd:
@@ -229,6 +232,206 @@ def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256,
             interpret=_interpret(),
         )(pi, pi, pi, di, di, di)[:, :h, :w]
     return p[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused divergence -> Jacobi -> project (saves the separate XLA divergence and
+# project passes: the first burst computes divergence from velocity strips in
+# VMEM, the last burst applies the pressure-gradient subtraction before
+# writing back.  Reference launches all three separately,
+# GPUFluidSim.cu:676-685.)
+# ---------------------------------------------------------------------------
+
+
+def _divergence_ext(ue, ve, half: bool):
+    """Central-difference divergence of mirror/real-halo extended velocity
+    strips (clamped x edges, ref: GPUFluidSim.cu:297-310)."""
+    ul, ur, _, _ = _clamped_neighbors(ue)
+    _, _, vb, vt = _clamped_neighbors(ve)
+    de = (ur - ul) + (vt - vb)
+    return de * 0.5 if half else de
+
+
+def _first_pressure_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi, p_out, d_out,
+                           *, k, hd, n_strips, half):
+    """Burst 1 fused with divergence: read velocity (+halos), build div in
+    VMEM, run k sweeps from p=0, emit p AND div (for the later bursts).
+
+    Validity: div is exact on ext rows [1-hd, r+hd-1); mirror-filling u,v
+    first makes the row adjacent to a physical edge see the clamped
+    (edge-replicated) neighbor exactly, then the div halo itself is
+    mirror-filled (the Neumann ghost needs d(-1-j)=d(j), NOT the odd-mirrored
+    true divergence).  k sweeps from p=0 touch d only within k-1 rows, so
+    k <= hd-1 keeps the emitted interior bit-exact global Jacobi."""
+    i = pl.program_id(1)
+    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
+    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
+    ue = _edge_fill(ue, i, n_strips, hd)
+    ve = _edge_fill(ve, i, n_strips, hd)
+    de = _divergence_ext(ue, ve, half)
+    de = _edge_fill(de, i, n_strips, hd)
+    pe = de * -0.25  # sweep 1 from p=0: all neighbor taps are zero
+    for _ in range(k - 1):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    p_out[0] = pe[hd:-hd, :]
+    d_out[0] = de[hd:-hd, :]
+
+
+def _project_rows(pe, u_mid, v_mid, hd: int):
+    """u -= 0.5*(pR-pL), v -= 0.5*(pT-pB) on the strip rows of an extended
+    pressure plane (ref: GPUFluidSim.cu:498-516; y-clamp at physical edges is
+    supplied by the mirror halo, pe[hd-1] == pe[hd])."""
+    ps = pe[hd:-hd, :]
+    pl_, pr_, _, _ = _clamped_neighbors(ps)
+    r = ps.shape[0]
+    u2 = u_mid - 0.5 * (pr_ - pl_)
+    v2 = v_mid - 0.5 * (pe[hd + 1 : hd + 1 + r, :] - pe[hd - 1 : hd - 1 + r, :])
+    return ps, u2, v2
+
+
+def _last_pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, u_mid, v_mid,
+                          p_out, u_out, v_out, *, k, hd, n_strips):
+    """Final burst fused with projection: k sweeps, then subtract the
+    pressure gradient from the (strip-rows-only) velocity.  Project reads p
+    at +/-1 row, so k <= hd-1 keeps it exact."""
+    i = pl.program_id(1)
+    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+    de = jnp.concatenate([d_lo[0], d_mid[0], d_hi[0]], axis=0)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    de = _edge_fill(de, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    ps, u2, v2 = _project_rows(pe, u_mid[0], v_mid[0], hd)
+    p_out[0] = ps
+    u_out[0] = u2
+    v_out[0] = v2
+
+
+def _single_pressure_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
+                            p_out, u_out, v_out, *, k, hd, n_strips, half):
+    """iters <= burst: divergence + all sweeps + project in ONE kernel."""
+    i = pl.program_id(1)
+    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
+    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
+    ue = _edge_fill(ue, i, n_strips, hd)
+    ve = _edge_fill(ve, i, n_strips, hd)
+    de = _divergence_ext(ue, ve, half)
+    de = _edge_fill(de, i, n_strips, hd)
+    pe = de * -0.25
+    for _ in range(k - 1):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    ps, u2, v2 = _project_rows(pe, ue[hd:-hd, :], ve[hd:-hd, :], hd)
+    p_out[0] = ps
+    u_out[0] = u2
+    v_out[0] = v2
+
+
+def _fused_geometry(h: int, w: int, k: int, requested: int):
+    """(r, hd) for a fused burst, or (0, hd) if not viable.  Fused kernels
+    need hd >= k+1 (div validity / project taps) and ~8 live planes."""
+    hd = _halo_depth(k + 1)
+    return _pick_block_rows(h, hd, w, requested, planes=8), hd
+
+
+def fusable(h: int, w: int, iters: int, block_rows: int = 256,
+            burst: int = 8) -> bool:
+    """True when pressure_project's fused kernels support this geometry
+    as-is (no mirror padding: the div/project fusions have no padding
+    re-mirror invariant)."""
+    if iters <= 0 or w % 128 != 0 or w < 128 or h < 2 * _SUBLANE:
+        return False
+    k = min(burst, iters)
+    r, _ = _fused_geometry(h, w, k, block_rows)
+    if r == 0:
+        return False
+    if iters > burst:  # middle/last bursts must also fit unpadded
+        if _pick_block_rows(h, _halo_depth(burst), w, block_rows) == 0:
+            return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "half", "block_rows",
+                                             "burst"))
+def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
+                     *, block_rows: int = 256, burst: int = 8):
+    """Fused divergence -> ``iters``-sweep Jacobi from p=0 -> gradient
+    subtraction.  Returns (u', v', p); bit-identical to the unfused
+    divergence/pressure_solve/project composition (ref semantics:
+    cpuFluidSim.cpp:236-258,374-377 / GPUFluidSim.cu:676-685).
+    Caller must check :func:`fusable` first."""
+    h, w = u.shape
+    if iters == 0:
+        return u, v, jnp.zeros_like(u)
+    u3, v3 = u[None], v[None]
+
+    ks = []
+    left = iters
+    while left > 0:
+        ks.append(min(burst, left))
+        left -= ks[-1]
+
+    vm = pltpu.VMEM
+
+    def specs(r, hd):
+        mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+        out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0), memory_space=vm)
+        return mid, lo, hi, out, n_strips
+
+    if len(ks) == 1:
+        k = ks[0]
+        r, hd = _fused_geometry(h, w, k, block_rows)
+        mid, lo, hi, out, n_strips = specs(r, hd)
+        kern = functools.partial(_single_pressure_kernel, k=k, hd=hd,
+                                 n_strips=n_strips, half=half)
+        p, u2, v2 = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+            grid=(1, n_strips),
+            in_specs=[mid, lo, hi, mid, lo, hi],
+            out_specs=[out, out, out],
+            interpret=_interpret(),
+        )(u3, u3, u3, v3, v3, v3)
+        return u2[0], v2[0], p[0]
+
+    # burst 1: divergence fused
+    k = ks[0]
+    r, hd = _fused_geometry(h, w, k, block_rows)
+    mid, lo, hi, out, n_strips = specs(r, hd)
+    kern = functools.partial(_first_pressure_kernel, k=k, hd=hd,
+                             n_strips=n_strips, half=half)
+    p, d = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi],
+        out_specs=[out, out],
+        interpret=_interpret(),
+    )(u3, u3, u3, v3, v3, v3)
+
+    # middle bursts: plain sweeps continuing from p
+    mid_iters = sum(ks[1:-1])
+    if mid_iters:
+        p = pressure_solve(d[0], mid_iters, block_rows=block_rows,
+                           burst=burst, init=p[0])[None]
+
+    # final burst: projection fused
+    k = ks[-1]
+    r, hd = _fused_geometry(h, w, k, block_rows)
+    mid, lo, hi, out, n_strips = specs(r, hd)
+    kern = functools.partial(_last_pressure_kernel, k=k, hd=hd,
+                             n_strips=n_strips)
+    p2, u2, v2 = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi, mid, mid],
+        out_specs=[out, out, out],
+        interpret=_interpret(),
+    )(p, p, p, d, d, d, u3, v3)
+    return u2[0], v2[0], p2[0]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))

@@ -49,19 +49,25 @@ def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
     return n + 1
 
 
-def make_vcycle(neighbors_fn):
+def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None):
     """Build the V-cycle from a clamped-neighborhood function — the single
     source of the multigrid numerics.  ``neighbors_fn(p) -> (l, r, b, t)``
     supplies the operator's boundary handling: the single-chip solver passes
     the local clamped stencil, the shard_map path passes its ppermute
     halo-exchange stencil.  Restriction/prolongation are local either way
-    (shards hold globally contiguous rows)."""
+    (shards hold globally contiguous rows).
+
+    ``smooth_fn(p, rhs, sweeps)`` overrides the damped-Jacobi smoother with
+    an equivalent implementation (the shard_map path substitutes a k-deep
+    halo-exchange burst smoother — same sweeps, 1/k the exchanges).
+    ``bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)`` overrides the coarsest
+    level (the shard_map path gathers the sub-shard-cap levels there)."""
 
     def apply_a(p):
         l, r, b, t = neighbors_fn(p)
         return 4.0 * p - (l + r + b + t)
 
-    def smooth(p, rhs, sweeps: int):
+    def default_smooth(p, rhs, sweeps: int):
         def sweep(p, _):
             l, r, b, t = neighbors_fn(p)
             p_jac = 0.25 * (l + r + b + t + rhs)
@@ -70,8 +76,12 @@ def make_vcycle(neighbors_fn):
         p, _ = jax.lax.scan(sweep, p, None, length=sweeps)
         return p
 
+    smooth = smooth_fn or default_smooth
+
     def vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
         if level == 1:
+            if bottom_fn is not None:
+                return bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)
             return smooth(p, rhs, coarse_sweeps)
         p = smooth(p, rhs, nu1)
         res = rhs - apply_a(p)

@@ -41,6 +41,27 @@ def overrides(config: FluidConfig) -> dict:
             block_rows=config.block_rows,
             burst=config.jacobi_burst,
         )
+        if jacobi_pallas.fusable(config.ny, config.nx, config.pressure_iters,
+                                 config.block_rows, config.jacobi_burst):
+            out["pressure_project"] = functools.partial(
+                jacobi_pallas.pressure_project,
+                block_rows=config.block_rows,
+                burst=config.jacobi_burst,
+            )
+        else:
+            # unfusable geometry (mirror-padded grids): still burst-solve the
+            # sweeps in pallas, with jnp divergence/project around them
+            from cudafluidsimulation_tpu.ops import ref as _r
+
+            def _pp(u, v, iters, half, _cfg=config):
+                d = _r.divergence(u, v, half)
+                p = jacobi_pallas.pressure_solve(
+                    d, iters, block_rows=_cfg.block_rows,
+                    burst=_cfg.jacobi_burst)
+                u2, v2 = _r.project(u, v, p)
+                return u2, v2, p
+
+            out["pressure_project"] = _pp
     d = config.max_displacement
     if advect_pallas.supported(config.ny, config.nx, 3, d):
         out["advect_velocity"] = functools.partial(advect_pallas.advect_velocity, d=d)

@@ -236,6 +236,22 @@ def project(u: Array, v: Array, p: Array) -> Tuple[Array, Array]:
     return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
 
 
+def pressure_project(u: Array, v: Array, iters: int, half: bool):
+    """The whole projection step — divergence, ``iters``-sweep Jacobi from
+    p=0, gradient subtraction — as one op returning (u', v', p).
+
+    The reference launches these as three separate kernels
+    (GPUFluidSim.cu:676-685); exposing them as one op lets the pallas
+    backend fuse divergence into the first pressure burst and projection
+    into the last (ops/jacobi_pallas.pressure_project), saving the
+    intermediate HBM round trips.  This jnp form is the exactness oracle for
+    that fusion."""
+    d = divergence(u, v, half)
+    p = pressure_solve(d, iters)
+    u2, v2 = project(u, v, p)
+    return u2, v2, p
+
+
 # ---------------------------------------------------------------------------
 # Impulse splat (force + dye)
 # ---------------------------------------------------------------------------

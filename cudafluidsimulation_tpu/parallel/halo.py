@@ -50,6 +50,81 @@ def exchange_rows(a: jnp.ndarray, width: int, axis_name: str,
     return jnp.concatenate([low, a, high], axis=-2)
 
 
+def measure_halo_traffic(config, mesh, axis_name: str = "x",
+                         steps: int = 1) -> dict:
+    """Count the collective traffic of the shard_map step by walking its
+    traced jaxpr — a measurement of the actual communication schedule (every
+    ``ppermute``/``all_gather`` XLA will emit), not a hand-model.
+
+    Returns per-DEVICE, per-STEP numbers: collective op counts, bytes moved
+    over ICI, and derived sweeps-per-exchange for the Jacobi stages.  Tracing
+    is shape-only, so this works for 8192² without allocating fields.
+    """
+    import numpy as np
+
+    from cudafluidsimulation_tpu.parallel.shardmap_step import make_shardmap_step
+    from cudafluidsimulation_tpu.state import FluidState
+    from cudafluidsimulation_tpu.utils.impulse import Impulse
+
+    h, w = config.shape
+    f32 = jnp.float32
+    state = FluidState(
+        u=jax.ShapeDtypeStruct((h, w), f32),
+        v=jax.ShapeDtypeStruct((h, w), f32),
+        dye=jax.ShapeDtypeStruct((3, h, w), f32),
+        pressure=jax.ShapeDtypeStruct((h, w), f32),
+        t=jax.ShapeDtypeStruct((), f32),
+        press_time=jax.ShapeDtypeStruct((), f32),
+        time_since_press=jax.ShapeDtypeStruct((), f32),
+        mouse=jax.ShapeDtypeStruct((2,), f32),
+        step=jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    imp = Impulse(
+        pos=jax.ShapeDtypeStruct((2,), f32),
+        last_pos=jax.ShapeDtypeStruct((2,), f32),
+        pressed=jax.ShapeDtypeStruct((), jnp.bool_),
+        dt=jax.ShapeDtypeStruct((), f32),
+    )
+    step = make_shardmap_step(config, mesh, axis_name)
+    jaxpr = jax.make_jaxpr(step)(state, imp)
+
+    counts = {"ppermute": 0, "all_gather": 0, "bytes": 0}
+
+    def visit(jx):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in ("ppermute", "all_gather"):
+                counts[name] += 1
+                for v in eqn.invars:
+                    aval = getattr(v, "aval", None)
+                    if aval is not None and aval.shape:
+                        counts["bytes"] += int(
+                            np.prod(aval.shape)) * aval.dtype.itemsize
+            for p in eqn.params.values():
+                for sub in (p if isinstance(p, (list, tuple)) else [p]):
+                    if hasattr(sub, "eqns"):  # raw Jaxpr (e.g. shard_map)
+                        visit(sub)
+                    elif hasattr(sub, "jaxpr"):  # ClosedJaxpr (jit/scan)
+                        visit(sub.jaxpr)
+
+    visit(jaxpr.jaxpr)
+
+    jacobi_sweeps = (config.diffusion_iters
+                     * (5 if config.color_diffusion_enabled else 2)
+                     + config.pressure_iters)
+    pairs = counts["ppermute"] // 2  # exchange_rows = one up + one down
+    return {
+        "ppermute_per_step": counts["ppermute"],
+        "exchange_pairs_per_step": pairs,
+        "all_gather_per_step": counts["all_gather"],
+        "ici_bytes_per_step_per_device": counts["bytes"],
+        "jacobi_sweeps_per_step": jacobi_sweeps,
+        # sweeps per exchange over ALL exchanges (advect/vorticity included),
+        # i.e. a lower bound on the Jacobi stages' burst depth
+        "sweeps_per_exchange_pair": round(jacobi_sweeps / max(1, pairs), 3),
+    }
+
+
 def shift_x_clamped(a: jnp.ndarray, d: int) -> jnp.ndarray:
     """x (lane) shifts never cross shards — plain clamped shift."""
     from cudafluidsimulation_tpu.ops.stencil import shift_x

@@ -256,6 +256,14 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         pl, pr, pb, pt = neighbors_padded(pp)
         return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
 
+    def pressure_project(u, v, iters, half):
+        # shard-local composition (the single-chip fused kernels need
+        # velocity halos the exchange path provides per-op anyway)
+        dd = divergence(u, v, half)
+        p = pressure_solve(dd, iters)
+        u2, v2 = project(u, v, p)
+        return u2, v2, p
+
     def _splat(kind):
         def splat(u, v, dye, cur, last, dt, force_scale, radius, color):
             ys_f, _ = _global_rows(u.shape, axis_name)
@@ -287,32 +295,78 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     def _mg_neighbors(p):
         return neighbors_padded(exchange_rows(p, 1, axis_name))
 
+    def _mg_smooth(p, rhs, sweeps):
+        """Damped-Jacobi smoothing with k sweeps per halo exchange.
+
+        Exchange a k-deep (p, rhs) halo, sweep locally on the padded arrays
+        with plain clamped stencils, slice k rows off: corruption from the
+        padded-array edges travels one row per sweep (trapezoid argument) so
+        the kept interior is bit-exact vs sweep-by-sweep exchange; mirror
+        fill at true domain edges is the Neumann ghost (same invariant as
+        ops/jacobi_pallas._edge_fill).  ICI exchanges drop ~k-fold vs the
+        round-1 1-row-per-sweep smoother."""
+        from cudafluidsimulation_tpu.ops.multigrid import _OMEGA
+        from cudafluidsimulation_tpu.ops.stencil import neighbors as _nb
+
+        hl = p.shape[-2]
+        left = sweeps
+        while left > 0:
+            k = min(left, hl, 8)
+            pp = exchange_rows(p, k, axis_name, edge="mirror")
+            rp = exchange_rows(rhs, k, axis_name, edge="mirror")
+            for _ in range(k):
+                l, r, b, t = _nb(pp)
+                pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
+            p = pp[..., k:-k, :]
+            left -= k
+        return p
+
     def pressure_solve_mg(div, cycles):
         """Sharded V-cycle multigrid: the shared numerics from
         ops.multigrid.make_vcycle with this path's ppermute halo-exchange
-        neighborhood.  The level hierarchy is chosen from the GLOBAL grid so
-        results match the single-device solver, capped where a shard's rows
-        stop halving (restriction/prolongation stay shard-local since each
-        shard's rows are globally contiguous)."""
-        from cudafluidsimulation_tpu.ops.multigrid import _levels, make_vcycle
+        neighborhood and the burst smoother above.  The level hierarchy is
+        chosen from the GLOBAL grid so results match the single-device
+        solver; once a shard's rows stop halving, the remaining (tiny)
+        coarse levels are all-gathered onto every device and continued with
+        the single-chip V-cycle — the full hierarchy is level-equivalent to
+        the single-chip solver at any shard count."""
+        from cudafluidsimulation_tpu.ops import multigrid as mg
 
-        vcycle, _ = make_vcycle(_mg_neighbors)
         hl, w = div.shape
-        level = _levels(h_global, w)
+        level = mg._levels(h_global, w)
         local_cap = 1
         hh = hl
         while hh % 2 == 0 and hh >= 2:
             hh //= 2
             local_cap += 1
-        level = min(level, local_cap)
+
+        bottom = None
+        if level > local_cap:
+            from cudafluidsimulation_tpu.ops.stencil import neighbors as _loc_nb
+
+            remaining = level - local_cap + 1
+            single_vcycle, _ = mg.make_vcycle(_loc_nb)
+
+            def bottom(p, rhs, nu1, nu2, coarse_sweeps):
+                p_full = lax.all_gather(p, axis_name, axis=0, tiled=True)
+                r_full = lax.all_gather(rhs, axis_name, axis=0, tiled=True)
+                e = single_vcycle(p_full, r_full, remaining, nu1, nu2,
+                                  coarse_sweeps)
+                rows = p.shape[0]
+                return lax.dynamic_slice_in_dim(
+                    e, lax.axis_index(axis_name) * rows, rows, 0)
+
+        vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
+                                   bottom_fn=bottom)
         rhs = -div
         p = jnp.zeros_like(div)
         for _ in range(cycles):
-            p = vcycle(p, rhs, level, 2, 2, 20)
+            p = vcycle(p, rhs, min(level, local_cap), 2, 2, 20)
         return p
 
     ns.pressure_solve = pressure_solve
     ns.pressure_solve_mg = pressure_solve_mg
+    ns.pressure_project = pressure_project
     ns.project = project
     ns.splat_cpu = _splat("cpu")
     ns.splat_gpu = _splat("gpu")

@@ -64,6 +64,17 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
             return out
 
         setattr(ns, name, wrapped)
+
+    # The production pipeline runs the fused pressure_project op; for stage
+    # ATTRIBUTION decompose it through the wrapped sub-ops so the Pressure /
+    # Project buckets match the reference's timers (GPUFluidSim.cu:676-688).
+    def pressure_project(u, v, iters, half):
+        d = ns.divergence(u, v, half)
+        p = ns.pressure_solve(d, iters)
+        u2, v2 = ns.project(u, v, p)
+        return u2, v2, p
+
+    ns.pressure_project = pressure_project
     return ns
 
 

@@ -60,19 +60,31 @@ def test_edge_backtrace_clamping(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
 
 
-def test_beyond_bound_is_clamped_not_garbage(rng):
-    """Displacements beyond D clamp taps to +/-D: with a uniform 20-cell
-    leftward backtrace both taps collapse onto x-7, so the result is the
-    dye sampled 7 columns left (clamped at the edge), faded."""
+def test_horizontal_beyond_d_is_exact(rng):
+    """Horizontal taps are NOT bounded by d (the strip width is VMEM-
+    resident): a 20-cell leftward backtrace with d=7 must still match the
+    unbounded ref op exactly."""
     u = jnp.full((H, W), 1200.0, jnp.float32)  # 20 cells/step backtrace
     v = jnp.zeros((H, W), jnp.float32)
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = advect_pallas.advect_dye(dye, u, v, DT, 1.2, d=7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+def test_vertical_beyond_bound_is_clamped_not_garbage(rng):
+    """VERTICAL displacements beyond D clamp taps to +/-D rows (the y halo
+    is only D deep): a uniform 20-cell downward backtrace with d=7 yields
+    the dye sampled 7 rows down (clamped at the edge), faded."""
+    u = jnp.zeros((H, W), jnp.float32)
+    v = jnp.full((H, W), 1200.0, jnp.float32)  # 20 cells/step backtrace
     dye_np = rng.random((3, H, W), dtype=np.float32)
     got = advect_pallas.advect_dye(jnp.asarray(dye_np), u, v, DT, 1.2, d=7)
     assert np.isfinite(np.asarray(got)).all()
-    cols = np.clip(np.arange(W) - 7, 0, W - 1)
+    rows = np.clip(np.arange(H) - 7, 0, H - 1)
     decay = np.float32(1.0) / (np.float32(1.0) + np.float32(1.2) * np.float32(DT))
     exp = np.fmin(np.float32(1.0),
-                  np.power(dye_np[:, :, cols], np.float32(1.005)) * decay)
+                  np.power(dye_np[:, rows, :], np.float32(1.005)) * decay)
     np.testing.assert_allclose(np.asarray(got), exp, atol=1e-5)
 
 

@@ -73,6 +73,80 @@ def test_backend_override_wiring():
     assert ops2.pressure_solve is ref.pressure_solve
 
 
+@pytest.mark.parametrize("iters", [1, 5, 8, 30, 40])
+def test_fused_pressure_project_matches_ref(rng, iters):
+    """Fused divergence->Jacobi->project == the unfused ref composition."""
+    h, w = 64, 128
+    u = rng.standard_normal((h, w)).astype(np.float32) * 50
+    v = rng.standard_normal((h, w)).astype(np.float32) * 50
+    for half in (True, False):
+        eu, ev, ep = ref.pressure_project(jnp.asarray(u), jnp.asarray(v),
+                                          iters, half)
+        gu, gv, gp = jacobi_pallas.pressure_project(
+            jnp.asarray(u), jnp.asarray(v), iters, half,
+            block_rows=64, burst=8)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=5e-5)
+
+
+def test_fused_pressure_project_multi_strip(rng):
+    """Strip seams + physical edges across several strips stay exact."""
+    h, w = 256, 128
+    u = rng.standard_normal((h, w)).astype(np.float32) * 50
+    v = rng.standard_normal((h, w)).astype(np.float32) * 50
+    eu, ev, ep = ref.pressure_project(jnp.asarray(u), jnp.asarray(v), 40, True)
+    gu, gv, gp = jacobi_pallas.pressure_project(
+        jnp.asarray(u), jnp.asarray(v), 40, True, block_rows=64, burst=8)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=5e-5)
+
+
+def test_fusable_predicate():
+    assert jacobi_pallas.fusable(2048, 2048, 40)
+    assert jacobi_pallas.fusable(128, 128, 5)   # cpu-reference geometry
+    assert jacobi_pallas.fusable(64, 128, 1)
+    assert not jacobi_pallas.fusable(540, 960, 30)  # needs mirror padding
+    assert not jacobi_pallas.fusable(64, 100, 30)   # w not lane-aligned
+    assert not jacobi_pallas.fusable(64, 128, 0)
+
+
+def test_pressure_project_override_wiring():
+    cfg = FluidConfig.gpu_reference(nx=128, ny=64, backend="pallas")
+    ops = get_ops(cfg)
+    assert ops.pressure_project is not ref.pressure_project
+    # unfusable geometry still gets a pallas-burst composition, not pure ref
+    cfg2 = FluidConfig.gpu_reference(nx=960, ny=540, backend="pallas")
+    ops2 = get_ops(cfg2)
+    assert ops2.pressure_project is not ref.pressure_project
+
+
+def test_full_pipeline_pallas_vs_ref_chaotic_params(rng):
+    """Pipeline equivalence AT the reference's own chaotic parameter set
+    (force 5000, vorticity 50, GPUFluidSim.cu:54,57) — the displacement
+    bound is raised so every realized backtrace stays exact; divergence
+    between backends is then pure kernel rounding."""
+    from cudafluidsimulation_tpu import Simulation
+    from cudafluidsimulation_tpu.utils.impulse import constant_impulse, slice_step
+
+    imp = constant_impulse(3, 1 / 60, pos=(64.0, 32.0), last_pos=(56.0, 28.0))
+    kw = dict(nx=128, ny=64, max_displacement=31)
+    s_ref = Simulation(FluidConfig.gpu_reference(backend="ref", **kw))
+    s_pal = Simulation(FluidConfig.gpu_reference(backend="pallas", **kw))
+    st_r, st_p = s_ref.init(), s_pal.init()
+    for i in range(3):
+        st_r = s_ref.step(st_r, slice_step(imp, i))
+        st_p = s_pal.step(st_p, slice_step(imp, i))
+        speed = float(jnp.max(jnp.sqrt(st_r.u**2 + st_r.v**2))) / 60.0
+        assert speed <= 31, "fixture must stay within the raised bound"
+    for name in ("u", "v", "dye", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, name)), np.asarray(getattr(st_r, name)),
+            atol=2e-2, err_msg=name,
+        )
+
+
 def test_full_pipeline_pallas_vs_ref(rng):
     """One full step with the pallas backend matches the ref backend."""
     from cudafluidsimulation_tpu import Simulation

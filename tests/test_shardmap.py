@@ -124,3 +124,23 @@ def test_shardmap_with_pallas_bursts_matches_ref():
             np.asarray(getattr(st_p, name)), np.asarray(getattr(st_r, name)),
             atol=5e-5, rtol=1e-4, err_msg=name,
         )
+
+
+@requires_multidevice
+def test_halo_traffic_accounting():
+    """measure_halo_traffic counts the step's real collective schedule from
+    the traced jaxpr (shape-only: works at 8192^2 without allocating)."""
+    from cudafluidsimulation_tpu.parallel.halo import measure_halo_traffic
+    from cudafluidsimulation_tpu.parallel.sharded import make_mesh
+
+    cfg = FluidConfig.gpu_reference(nx=8192, ny=8192, pressure_iters=100,
+                                    backend="ref")
+    mesh = make_mesh(8, ens=1)
+    t = measure_halo_traffic(cfg, mesh)
+    assert t["ppermute_per_step"] > 0
+    assert t["ppermute_per_step"] % 2 == 0
+    assert t["ici_bytes_per_step_per_device"] > 0
+    # jacobi stages at 100 sweeps must not exchange once per sweep: the
+    # per-sweep schedule would need >200 exchange pairs for pressure alone
+    assert t["exchange_pairs_per_step"] < 200
+    assert t["sweeps_per_exchange_pair"] > 1.0

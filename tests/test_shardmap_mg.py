@@ -40,3 +40,48 @@ def test_shardmap_multigrid_matches_single_device():
             np.asarray(getattr(st_single, name)),
             atol=5e-5, rtol=1e-4, err_msg=name,
         )
+
+
+@requires_multidevice
+def test_shardmap_multigrid_below_shard_cap():
+    """Geometry where the GLOBAL level count exceeds what a shard's rows can
+    coarsen (ny=320 / 8 shards -> 40 local rows -> local cap 4 < global
+    level 5): the sub-cap levels must be all-gathered and continued, making
+    the sharded hierarchy level-equivalent to the single-chip solver (the
+    round-1 version silently ran a shallower — different — solver here)."""
+    from cudafluidsimulation_tpu.ops.multigrid import _levels
+
+    ny, nx, n = 320, 512, 8
+    hl = ny // n
+    cap = 1
+    hh = hl
+    while hh % 2 == 0 and hh >= 2:
+        hh //= 2
+        cap += 1
+    assert cap < _levels(ny, nx), "fixture must exercise the gathered bottom"
+
+    cfg = FluidConfig.gpu_reference(
+        nx=nx, ny=ny, backend="ref", diffusion_iters=3,
+        pressure_solver="multigrid", mg_cycles=2,
+        vorticity=0.5, force_scale=500.0,
+    )
+    mesh = make_mesh(n, ens=1)
+    sim = Simulation(cfg)
+    imp = orbit_impulse(3, cfg.dt, center=(nx / 2.0, ny / 2.0), radius=30.0)
+
+    st_single = sim.init()
+    st_shard = shard_state(init_state(cfg), mesh)
+    sstep = make_shardmap_step(cfg, mesh)
+    for i in range(3):
+        one = slice_step(imp, i)
+        st_single = sim.step(st_single, one)
+        st_shard = sstep(st_shard, one)
+
+    # solver-level agreement is ~4e-5 (pure fp reassociation); three pipeline
+    # steps amplify that slightly
+    for name in ("u", "v", "dye", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_shard, name)),
+            np.asarray(getattr(st_single, name)),
+            atol=3e-4, rtol=1e-4, err_msg=name,
+        )
