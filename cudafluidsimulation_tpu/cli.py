@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the rollout")
     p.add_argument("--view", choices=["none", "term"], default="none",
                    help="live view: 'term' renders frames as ANSI half-blocks")
+    p.add_argument("--interactive", action="store_true",
+                   help="with --view term: steer the fluid live (mouse drag "
+                   "or WASD+space; q quits) — the reference's mouse capture, "
+                   "in the terminal")
+    p.add_argument("--pipelined", action="store_true",
+                   help="with --view term: overlap step dispatch with frame "
+                   "readback (one frame of latency, much higher FPS on "
+                   "high-latency links)")
     return p
 
 
@@ -149,11 +157,35 @@ def main(argv=None) -> int:
         if args.apng:
             print("note: --apng is ignored with --view term "
                   "(frames go to the terminal)")
-        app = FluidApp(cfg, input_source=source,
-                       frame_sink=TermViewer(), fixed_dt=args.dt)
-        app.state = state
-        report = app.run(max_frames=args.steps)
-        state = app.state
+
+        viewer = TermViewer()
+        if args.interactive:
+            # live input: mouse drag / WASD — the reference's interactive
+            # loop (Main.cpp:213-243), terminal edition.  Sized to the
+            # viewer so mouse cells land on the rendered pixels.
+            import shutil
+
+            from cudafluidsimulation_tpu.utils.term_input import TermInput
+
+            size = shutil.get_terminal_size((80, 24))
+            cols = viewer.cols or min(size.columns, 120)
+            rows = viewer.rows or min(size.lines - 2, 48)
+            viewer.cols, viewer.rows = cols, rows
+            tin = TermInput(nx, ny, cols, rows)
+            with tin:
+                app = FluidApp(cfg, input_source=tin.source(),
+                               frame_sink=viewer, fixed_dt=args.dt)
+                app.state = state
+                report = app.run(max_frames=args.steps or None,
+                                 pipelined=args.pipelined,
+                                 stop_when=lambda: tin.quit)
+            state = app.state
+        else:
+            app = FluidApp(cfg, input_source=source,
+                           frame_sink=viewer, fixed_dt=args.dt)
+            app.state = state
+            report = app.run(max_frames=args.steps, pipelined=args.pipelined)
+            state = app.state
         if args.save_fields:
             np.savez_compressed(
                 args.save_fields,

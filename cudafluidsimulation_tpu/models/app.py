@@ -93,13 +93,17 @@ class FluidApp:
 
     def run(self, seconds: Optional[float] = None,
             max_frames: Optional[int] = None,
-            pipelined: bool = False) -> StageReport:
+            pipelined: bool = False,
+            stop_when: Optional[Callable[[], bool]] = None) -> StageReport:
         """Run the frame loop.
 
         ``pipelined`` overlaps the next step's dispatch with the previous
         frame's device->host readback (one frame of display latency), which
         hides most of the per-step dispatch overhead on high-latency
         links; per-frame compute times then measure wall time per frame.
+
+        ``stop_when`` is polled each frame — the ESC-key analog
+        (Main.cpp:215-216); interactive input sources pass their quit flag.
         """
         t_start = time.perf_counter()
         last_t = t_start
@@ -116,6 +120,8 @@ class FluidApp:
             if seconds is not None and now - t_start >= seconds:
                 break
             if max_frames is not None and self.frames >= max_frames:
+                break
+            if stop_when is not None and stop_when():
                 break
             dt = self.fixed_dt if self.fixed_dt is not None else max(
                 1e-4, now - last_t)

@@ -63,7 +63,13 @@ def overrides(config: FluidConfig) -> dict:
 
             out["pressure_project"] = _pp
     d = config.max_displacement
-    if advect_pallas.supported(config.ny, config.nx, 3, d):
+    # gate each op on ITS channel footprint: geometries where only the
+    # 3-channel dye advection overflows VMEM still get the 2-channel
+    # velocity kernel (the kernel falls back to one-channel-per-program
+    # before failing, so this split rarely matters — but never wrongly
+    # disables the cheaper op)
+    if advect_pallas.supported(config.ny, config.nx, 2, d):
         out["advect_velocity"] = functools.partial(advect_pallas.advect_velocity, d=d)
+    if advect_pallas.supported(config.ny, config.nx, 3, d):
         out["advect_dye"] = functools.partial(advect_pallas.advect_dye, d=d)
     return out
