@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--apng", default="",
                    help="write the collected frames as one animated PNG")
     p.add_argument("--apng-fps", type=float, default=30.0)
+    p.add_argument("--video", default="",
+                   help="write the collected frames as an uncompressed RGB "
+                   "AVI (plays in VLC/mpv/ffmpeg; no dependencies)")
+    p.add_argument("--video-fps", type=float, default=30.0)
     p.add_argument("--save-fields", default="", help="npz path for final fields")
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--resume", default="", help="resume from a state checkpoint")
@@ -206,7 +210,7 @@ def main(argv=None) -> int:
     from cudafluidsimulation_tpu.utils.health import check_health
     from cudafluidsimulation_tpu.utils.impulse import Impulse
 
-    collect = bool(args.frames_dir or args.apng)
+    collect = bool(args.frames_dir or args.apng or args.video)
     health_on = args.health is not None
     max_speed = args.health if (health_on and args.health > 0) else None
 
@@ -267,6 +271,13 @@ def main(argv=None) -> int:
 
         write_apng(args.apng, list(frames), fps=args.apng_fps)
         print(f"wrote {len(frames)}-frame animation to {args.apng}")
+
+    if args.video:
+        from cudafluidsimulation_tpu.utils.video import write_avi
+
+        write_avi(args.video, list(frames), fps=args.video_fps)
+        print(f"wrote {len(frames)}-frame AVI to {args.video} "
+              "(ffmpeg -i ... out.mp4 to transcode)")
 
     if args.save_fields:
         np.savez_compressed(

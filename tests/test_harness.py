@@ -239,3 +239,55 @@ def test_cli_impulse_file(tmp_path):
     assert rc == 0
     with np.load(fields) as d:
         assert np.abs(d["dye"]).max() > 0
+
+
+def test_avi_writer_roundtrip(tmp_path, rng):
+    """Parse the written AVI back: container structure, frame count, and
+    pixel-exact recovery of the RGB data."""
+    import struct
+
+    from cudafluidsimulation_tpu.utils.video import write_avi
+
+    h, w, n = 16, 24, 3
+    frames = [rng.integers(0, 255, (h, w, 4), dtype=np.uint8) for _ in range(n)]
+    path = str(tmp_path / "run.avi")
+    write_avi(path, frames, fps=20)
+    data = open(path, "rb").read()
+
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert b"00db" in data and b"idx1" in data
+
+    # main header: frame count + dims
+    avih_off = data.index(b"avih") + 8
+    vals = struct.unpack("<14I", data[avih_off:avih_off + 56])
+    assert vals[4] == n and (vals[8], vals[9]) == (w, h)
+
+    # decode the first frame chunk: bottom-up padded BGR rows
+    movi = data.index(b"movi")
+    c0 = data.index(b"00db", movi)
+    size = struct.unpack("<I", data[c0 + 4:c0 + 8])[0]
+    stride = (w * 3 + 3) & ~3
+    assert size == stride * h
+    rows = np.frombuffer(data[c0 + 8:c0 + 8 + size], np.uint8).reshape(h, stride)
+    rgb = rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    np.testing.assert_array_equal(rgb, frames[0][..., :3])
+
+    # idx1 entries: one keyframe per frame, first offset = 4
+    idx = data.index(b"idx1") + 8
+    ck, flags, off, sz = struct.unpack("<4sIII", data[idx:idx + 16])
+    assert (ck, flags, off, sz) == (b"00db", 0x10, 4, size)
+
+
+def test_cli_video(tmp_path):
+    from cudafluidsimulation_tpu.cli import main
+
+    out = tmp_path / "run.avi"
+    rc = main([
+        "--grid", "64", "--steps", "12", "--backend", "ref",
+        "--impulse", "center", "--frame-every", "4", "--video", str(out),
+        "--diffusion-iters", "2", "--pressure-iters", "2",
+    ])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF" and data.count(b"00db") >= 3 + 1  # chunks+idx1
