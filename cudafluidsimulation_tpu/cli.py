@@ -161,6 +161,12 @@ def main(argv=None) -> int:
         if args.apng:
             print("note: --apng is ignored with --view term "
                   "(frames go to the terminal)")
+        if args.video:
+            print("note: --video is ignored with --view term "
+                  "(frames go to the terminal)")
+        if args.health is not None:
+            print("note: --health is ignored with --view term "
+                  "(the frame loop surfaces failures per frame)")
 
         viewer = TermViewer()
         if args.interactive:
@@ -207,7 +213,7 @@ def main(argv=None) -> int:
 
     import jax
 
-    from cudafluidsimulation_tpu.utils.health import check_health
+    from cudafluidsimulation_tpu.utils.health import HealthError, check_health
     from cudafluidsimulation_tpu.utils.impulse import Impulse
 
     collect = bool(args.frames_dir or args.apng or args.video)
@@ -218,6 +224,9 @@ def main(argv=None) -> int:
     # checks, and min/max frame-time accounting (Main.cpp:199-200's analog);
     # with none of those active it is a single full-length scan.
     n_total = int(imp.pressed.shape[0])
+    if collect and n_total == 0:
+        raise SystemExit("nothing to run: --steps 0 (or an empty impulse "
+                         "script) collects no frames")
     if collect:
         seg = max(1, args.frame_every)
     elif health_on:
@@ -230,14 +239,20 @@ def main(argv=None) -> int:
     frames = []
     seg_stats = []  # (wall seconds, steps) per compiled segment
 
+    # compile every segment shape OUTSIDE both the timed loop and the
+    # profiler capture: the full segment AND the shorter remainder (a
+    # remainder compiling inside the loop would bill a 20s+ remote compile
+    # to Max frame / the trace)
+    if seg < n_total:
+        jax.block_until_ready(sim.run(state, Impulse(*(f[:seg] for f in imp))).u)
+        rem = n_total % seg
+        if rem:
+            jax.block_until_ready(
+                sim.run(state, Impulse(*(f[:rem] for f in imp))).u)
+
     profile_ctx = (jax.profiler.trace(args.profile_dir) if args.profile_dir
                    else contextlib.nullcontext())
     with profile_ctx:
-        if seg < n_total:
-            # compile the segment scan outside the timed loop so Max frame
-            # measures steady-state, not the first compile
-            warm = Impulse(*(f[:seg] for f in imp))
-            jax.block_until_ready(sim.run(state, warm).u)
         t0 = time.perf_counter()
         start = 0
         while start < n_total:
@@ -250,8 +265,6 @@ def main(argv=None) -> int:
             if collect:
                 frames.append(sim.frame_image(sim._jit_render(state)))
             if health_on:
-                from cudafluidsimulation_tpu.utils.health import HealthError
-
                 try:
                     check_health(state, max_speed=max_speed)
                 except HealthError as e:
@@ -299,7 +312,11 @@ def main(argv=None) -> int:
             _, irep = run_instrumented(cfg, sim.init(), imp)
             rep.stage_ms = irep.stage_ms
         else:
-            rep.stage_ms = sim.stage_timings().stage_ms
+            # sample stages from the rollout's FINAL state: advect cost is
+            # flow-dependent (window width follows realized |v|*dt), so a
+            # zero-state sample would report quiet-flow numbers for a
+            # driven run
+            rep.stage_ms = sim.stage_timings(state=state).stage_ms
     if len(seg_stats) > 1:
         # per-step min/max over steady-state segments (Main.cpp:199-200)
         per_step = [w / k for w, k in seg_stats]

@@ -340,14 +340,18 @@ def fusable(h: int, w: int, iters: int, block_rows: int = 256,
             burst: int = 8) -> bool:
     """True when pressure_project's fused kernels support this geometry
     as-is (no mirror padding: the div/project fusions have no padding
-    re-mirror invariant)."""
+    re-mirror invariant).  Checks EVERY burst's geometry — the last burst's
+    halo depth (_halo_depth(k_last+1)) can differ from both the first
+    burst's and the middle bursts', and an unviable one would divide by a
+    zero strip height at trace time."""
     if iters <= 0 or w % 128 != 0 or w < 128 or h < 2 * _SUBLANE:
         return False
-    k = min(burst, iters)
-    r, _ = _fused_geometry(h, w, k, block_rows)
-    if r == 0:
-        return False
-    if iters > burst:  # middle/last bursts must also fit unpadded
+    k_first = min(burst, iters)
+    k_last = (iters % burst) or k_first
+    for k in {k_first, k_last}:
+        if _fused_geometry(h, w, k, block_rows)[0] == 0:
+            return False
+    if iters > burst:  # middle bursts must also fit unpadded
         if _pick_block_rows(h, _halo_depth(burst), w, block_rows) == 0:
             return False
     return True

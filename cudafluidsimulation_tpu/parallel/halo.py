@@ -50,8 +50,7 @@ def exchange_rows(a: jnp.ndarray, width: int, axis_name: str,
     return jnp.concatenate([low, a, high], axis=-2)
 
 
-def measure_halo_traffic(config, mesh, axis_name: str = "x",
-                         steps: int = 1) -> dict:
+def measure_halo_traffic(config, mesh, axis_name: str = "x") -> dict:
     """Count the collective traffic of the shard_map step by walking its
     traced jaxpr — a measurement of the actual communication schedule (every
     ``ppermute``/``all_gather`` XLA will emit), not a hand-model.

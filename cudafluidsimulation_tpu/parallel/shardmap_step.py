@@ -130,11 +130,10 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
     def curl(u, v):
-        up = exchange_rows(u, 1, axis_name)
-        vp = exchange_rows(v, 1, axis_name)
-        vl, vr, _, _ = neighbors_padded(vp)
-        _, _, ub, ut = neighbors_padded(up)
-        return 0.5 * (vr - vl - ut + ub)
+        # one stacked exchange for both components (half the ppermute pairs)
+        uvp = exchange_rows(jnp.stack([u, v]), 1, axis_name)
+        l, r, b, t = neighbors_padded(uvp)
+        return 0.5 * (r[1] - l[1] - t[0] + b[0])
 
     def vorticity_confinement_cpu(u, v, dt, vorticity):
         w = curl(u, v)
@@ -223,11 +222,10 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         return _jacobi(fields, (coeffs * coeffs / dt)[:, None, None], iters)
 
     def divergence(u, v, half):
-        up = exchange_rows(u, 1, axis_name)
-        vp = exchange_rows(v, 1, axis_name)
-        ul, ur, _, _ = neighbors_padded(up)
-        _, _, vb, vt = neighbors_padded(vp)
-        dd = (ur - ul) + (vt - vb)
+        # one stacked exchange for both components (half the ppermute pairs)
+        uvp = exchange_rows(jnp.stack([u, v]), 1, axis_name)
+        l, r, b, t = neighbors_padded(uvp)
+        dd = (r[0] - l[0]) + (t[1] - b[1])
         return 0.5 * dd if half else dd
 
     def pressure_solve(div, iters):

@@ -109,7 +109,13 @@ class TermInput:
                             end = j
                             break
                     if end < 0:
-                        break  # incomplete escape: keep for the next feed
+                        if len(seq) >= 24:
+                            # no terminator within the longest legal SGR
+                            # sequence: garbage (e.g. pasted text) — skip
+                            # the ESC and resync instead of wedging forever
+                            i += 1
+                            continue
+                        break  # genuinely incomplete: keep for the next feed
                     body = seq[3:end].split(b";")
                     try:
                         btn, cx, cy = (int(x) for x in body)

@@ -17,6 +17,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# fake an 8-device host platform BEFORE jax initializes: XLA flags are
+# parsed once at first backend init, so setting this later (as the config-5
+# fallback used to) silently yields 1 CPU device
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,15 +147,10 @@ def main():
              steps, sec, n * n)
     else:
         # no 8-chip hardware: measure the 8192² communication schedule on a
-        # virtual 8-device CPU mesh instead.  Traffic numbers come from the
-        # traced jaxpr (every ppermute XLA will emit), and a small-grid
-        # rollout on the virtual mesh validates the path executes.
-        import os as _os
-
-        flags = _os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            _os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
+        # virtual 8-device CPU mesh instead (device count faked at module
+        # import).  Traffic numbers come from the traced jaxpr (every
+        # ppermute XLA will emit), and a small-grid rollout on the virtual
+        # mesh validates the path executes.
         cpu_devs = jax.devices("cpu")
         if len(cpu_devs) >= 8:
             from cudafluidsimulation_tpu.parallel.halo import measure_halo_traffic

@@ -173,3 +173,21 @@ def test_full_pipeline_pallas_vs_ref(rng):
             np.asarray(getattr(st_p, name)), np.asarray(getattr(st_r, name)),
             atol=2e-2, err_msg=name,
         )
+
+
+def test_fusable_rejects_unviable_last_burst():
+    """Regression: fusable() must validate the LAST burst's geometry too —
+    h=72, iters=30, burst=20 gives a last burst k=10 whose halo depth (16)
+    divides nothing in 72; approving it crashed pressure_project with a
+    zero strip height at trace time."""
+    assert not jacobi_pallas.fusable(72, 128, 30, 256, 20)
+    # and the approved ones still trace + run
+    import jax.numpy as jnp
+    import numpy as np
+
+    u = jnp.asarray(np.ones((72, 128), np.float32))
+    for iters, burst in [(30, 8), (5, 20)]:
+        if jacobi_pallas.fusable(72, 128, iters, 256, burst):
+            out = jacobi_pallas.pressure_project(u, u, iters, True,
+                                                 block_rows=256, burst=burst)
+            assert np.isfinite(np.asarray(out[2])).all()

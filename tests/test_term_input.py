@@ -101,3 +101,15 @@ def test_app_integration_with_scripted_bytes():
     frames_before = app.frames
     app.run(max_frames=50, stop_when=lambda: t.quit)
     assert app.frames == frames_before
+
+
+def test_unterminated_sgr_prefix_resyncs():
+    """Garbage starting with the SGR prefix (e.g. a bracketed paste) must not
+    wedge the parser: later keys and real mouse events still work."""
+    t = make()
+    t.feed(b"\x1b[<" + b"1;" * 20)  # no M/m terminator within 24 bytes
+    t.feed(b"q")
+    assert t.quit
+    t.quit = False
+    t.feed(b"\x1b[<0;10;10M")
+    assert t.pressed
