@@ -47,19 +47,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _advect_kernel(dt_ref, y0_ref, u_ref, v_ref, fm, fl, fh, out,
-                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, c):
+def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
+                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, d_x,
+                   c):
     i = pl.program_id(1)
     dt = dt_ref[0, 0]
-    # y0_ref holds the GLOBAL row coordinate of array row 0 (nonzero when a
-    # shard_map caller advects a halo-padded local view of a global field)
+    # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
+    # when a shard_map caller advects a halo-padded local view of a global
+    # field); offsets dx/dy below stay local because translation cancels
     y0 = i * r + y0_ref[0, 0]
+    x0 = x0_ref[0, 0]
     he = r + 2 * hd
 
     ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
 
     ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0) + y0
-    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1) + x0
     ys_f = ys_i.astype(jnp.float32)
     xs_f = xs_i.astype(jnp.float32)
 
@@ -83,12 +86,14 @@ def _advect_kernel(dt_ref, y0_ref, u_ref, v_ref, fm, fl, fh, out,
 
     dy1 = jnp.clip(cy1 - ys_i, -d, d)
     dy2 = jnp.clip(cy2 - ys_i, -d, d)
-    # x offsets are NOT displacement-bounded: the whole strip width lives in
-    # VMEM, so horizontal taps are exact for arbitrary |vx|*dt (cx is already
-    # domain-clamped, hence |dx| < w).  Only the vertical window is limited
-    # by the halo depth.
-    dx1 = cx1 - xs_i
-    dx2 = cx2 - xs_i
+    # Single-chip (d_x = w-1): x offsets are effectively unbounded — the
+    # whole strip width lives in VMEM, so horizontal taps are exact for
+    # arbitrary |vx|*dt (cx is domain-clamped, hence |dx| < w).  On an
+    # x-sharded local view the caller only exchanged d halo columns, so
+    # d_x = d clamps taps to the available data (same semantics as the
+    # vertical bound).
+    dx1 = jnp.clip(cx1 - xs_i, -d_x, d_x)
+    dx2 = jnp.clip(cx2 - xs_i, -d_x, d_x)
 
     # per-strip active dy window (scalars); the loops below run EXACTLY the
     # realized windows — dynamic trip counts, dynamic roll shifts, no
@@ -201,17 +206,22 @@ def supported(h: int, w: int, c: int, d: int) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d", "h_phys"))
+@functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d",
+                                             "h_phys", "w_phys", "d_x"))
 def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
            decay_rate: float, mode: str = "field", d: int = 15,
-           y0=0, h_phys: int = 0) -> jnp.ndarray:
+           y0=0, h_phys: int = 0, x0=0, w_phys: int = 0,
+           d_x: int = 0) -> jnp.ndarray:
     """Advect (C, H, W) ``fields`` through velocity (u, v) with the
     reference's decay semantics.  mode "dye" applies the
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290).
 
-    For shard-local views of a global field, ``y0`` (traced ok) is the global
-    row of array row 0 and ``h_phys`` the GLOBAL height used for tap
-    clamping; default 0 means "this array is the whole domain"."""
+    For shard-local views of a global field, ``y0``/``x0`` (traced ok) are
+    the global coordinates of array row/col 0 and ``h_phys``/``w_phys`` the
+    GLOBAL extents used for tap clamping; 0 means "this array is the whole
+    domain".  ``d_x`` bounds horizontal tap offsets (x-sharded local views
+    pass their exchanged halo depth); 0 means unbounded (full strip width
+    is resident)."""
     c, h, w = fields.shape
     if h_phys == 0:
         h_phys = h
@@ -230,6 +240,7 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
 
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1, 1)
+    x0_arr = jnp.asarray(x0, jnp.int32).reshape(1, 1)
 
     vm = pltpu.VMEM
     plane = pl.BlockSpec((1 * r, wp), lambda ci, i: (i, 0), memory_space=vm)
@@ -243,20 +254,18 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
 
     kern = functools.partial(
         _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=hp, w=wp, h_phys=h_phys, w_phys=w, r=r, hd=hd, d=d, c=cb,
+        h=hp, w=wp, h_phys=h_phys, w_phys=(w_phys or w), r=r, hd=hd, d=d,
+        d_x=(d_x or wp - 1), c=cb,
     )
+    smem = pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         grid=(c_grid, n_strips),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
-            plane, plane, mid, lo, hi,
-        ],
+        in_specs=[smem, smem, smem, plane, plane, mid, lo, hi],
         out_specs=mid,
         interpret=_interpret(),
-    )(dt_arr, y0_arr, u_in, v_in, fields_in, fields_in, fields_in)
+    )(dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in, fields_in, fields_in)
     return out[:, :h, :w]
 
 

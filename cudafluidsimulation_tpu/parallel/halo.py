@@ -50,6 +50,44 @@ def exchange_rows(a: jnp.ndarray, width: int, axis_name: str,
     return jnp.concatenate([low, a, high], axis=-2)
 
 
+def exchange_cols(a: jnp.ndarray, width: int, axis_name: str,
+                  edge: str = "clamp") -> jnp.ndarray:
+    """Column analog of :func:`exchange_rows` for 2-D (rows x cols) spatial
+    meshes: pad local (..., Hl, Wl) columns with ``width`` halo columns from
+    the mesh neighbors along ``axis_name``; physical x edges padded per
+    ``edge`` ("clamp" or "mirror")."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    right_cols = a[..., :, -width:]
+    left_cols = a[..., :, :width]
+
+    from_left = lax.ppermute(right_cols, axis_name, _perm(n, up=True))
+    from_right = lax.ppermute(left_cols, axis_name, _perm(n, up=False))
+
+    if edge == "mirror":
+        low_fill = jnp.flip(a[..., :, :width], axis=-1)
+        high_fill = jnp.flip(a[..., :, -width:], axis=-1)
+    else:
+        reps = [1] * (a.ndim - 1) + [width]
+        low_fill = jnp.tile(a[..., :, :1], reps)
+        high_fill = jnp.tile(a[..., :, -1:], reps)
+
+    low = jnp.where(idx == 0, low_fill, from_left)
+    high = jnp.where(idx == n - 1, high_fill, from_right)
+    return jnp.concatenate([low, a, high], axis=-1)
+
+
+def exchange_2d(a: jnp.ndarray, width: int, row_axis: str, col_axis: str,
+                edge: str = "clamp") -> jnp.ndarray:
+    """k-deep halo exchange on a 2-D spatial mesh, corners included: rows
+    first, then columns OF THE ROW-PADDED array — the column transfer
+    carries the diagonal neighbors' rows, which k-sweep stencil bursts need
+    (a 5-point stencil's k-sweep dependence is the L1 ball |dy|+|dx| <= k)."""
+    return exchange_cols(exchange_rows(a, width, row_axis, edge),
+                         width, col_axis, edge)
+
+
 def measure_halo_traffic(config, mesh, axis_name: str = "x") -> dict:
     """Count the collective traffic of the shard_map step by walking its
     traced jaxpr — a measurement of the actual communication schedule (every

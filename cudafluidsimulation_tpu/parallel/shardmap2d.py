@@ -1,0 +1,438 @@
+"""2-D spatial mesh: the grid sharded over (rows x cols).
+
+The rows-only path (parallel.shardmap_step) stops scaling when a grid runs
+out of rows to split; this module shards BOTH axes over a ("rows", "cols")
+``jax.sharding.Mesh`` — the layout that maps onto a physical TPU torus
+(SURVEY.md §5's "2D jax.sharding.Mesh over the grid").  Every neighbor
+access is an explicit :func:`~.halo.exchange_2d` (rows, then columns of the
+row-padded array, so corners ride along — a k-sweep 5-point stencil's
+dependence is the L1 ball), boundary conditions apply only on true domain
+edges, and per-device compute reuses the single-chip pallas kernels on the
+halo-padded local views (the advect kernel takes global y0/x0 offsets and
+clamps taps against the GLOBAL domain).
+
+Reference anchor: the reference is single-GPU (SURVEY.md §2, no NCCL/MPI);
+this is a beyond-parity subsystem.  Advection taps clamp to the exchanged
+halo in BOTH axes here (``max_displacement`` cells), unlike the rows-only
+path where x stays unbounded.
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cudafluidsimulation_tpu.config import FluidConfig
+from cudafluidsimulation_tpu.ops import ref
+from cudafluidsimulation_tpu.parallel.halo import exchange_2d
+from cudafluidsimulation_tpu.state import FluidState
+from cudafluidsimulation_tpu.utils.impulse import Impulse
+
+
+def make_mesh2d(rows: int, cols: int, devices=None) -> Mesh:
+    """A (rows, cols) spatial device mesh."""
+    import numpy as np
+
+    devs = devices if devices is not None else jax.devices()
+    n = rows * cols
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(rows, cols), ("rows", "cols"))
+
+
+def _neighbors_2d(ap):
+    """(left, right, below, above) for the core of a 1-deep exchange_2d
+    padded array (both stencil arms come from the halo)."""
+    left = ap[..., 1:-1, :-2]
+    right = ap[..., 1:-1, 2:]
+    below = ap[..., :-2, 1:-1]
+    above = ap[..., 2:, 1:-1]
+    return left, right, below, above
+
+
+def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
+                   d: int, use_pallas: bool = False,
+                   pallas_burst: int = 8) -> types.SimpleNamespace:
+    """Shard-local op API for a (rows x cols) spatial mesh (consumed by
+    models.pipelines.make_step, like parallel.shardmap_step.sharded_ops)."""
+    ns = types.SimpleNamespace()
+
+    def _bases(shape):
+        hl, wl = shape[-2], shape[-1]
+        return lax.axis_index(row_axis) * hl, lax.axis_index(col_axis) * wl
+
+    def _global_grids(shape):
+        hl, wl = shape[-2], shape[-1]
+        r0, c0 = _bases(shape)
+        ys_i = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0) + r0
+        xs_i = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1) + c0
+        return ys_i.astype(jnp.float32), ys_i, xs_i.astype(jnp.float32), xs_i
+
+    def _x2d(a, width, edge="clamp"):
+        return exchange_2d(a, width, row_axis, col_axis, edge)
+
+    # -- advection ------------------------------------------------------------
+
+    def _bilerp_2d(field, u, v, dt):
+        """Backtrace + bilerp with taps clamped to the d-deep 2-D halo."""
+        hl, wl = u.shape
+        ys_f, ys_i, xs_f, xs_i = _global_grids((hl, wl))
+        px = xs_f - dt * u
+        py = ys_f - dt * v
+        x1 = jnp.trunc(px)
+        y1 = jnp.trunc(py)
+        tx = px - x1
+        ty = py - y1
+        cx1 = jnp.clip(x1, 0, w_global - 1).astype(jnp.int32)
+        cx2 = jnp.clip(x1 + 1.0, 0, w_global - 1).astype(jnp.int32)
+        cy1 = jnp.clip(y1, 0, h_global - 1).astype(jnp.int32)
+        cy2 = jnp.clip(y1 + 1.0, 0, h_global - 1).astype(jnp.int32)
+        ly = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
+        lx = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
+        ry1 = jnp.clip(cy1 - ys_i, -d, d) + ly + d
+        ry2 = jnp.clip(cy2 - ys_i, -d, d) + ly + d
+        rx1 = jnp.clip(cx1 - xs_i, -d, d) + lx + d
+        rx2 = jnp.clip(cx2 - xs_i, -d, d) + lx + d
+        fp = _x2d(field, d)
+        p00 = ref._gather2d(fp, ry1, rx1)
+        p01 = ref._gather2d(fp, ry1, rx2)
+        p10 = ref._gather2d(fp, ry2, rx1)
+        p11 = ref._gather2d(fp, ry2, rx2)
+        top = p00 * (1.0 - tx) + p01 * tx
+        bot = p10 * (1.0 - tx) + p11 * tx
+        return top * (1.0 - ty) + bot * ty
+
+    def _advect_pallas_2d(fields_p, up, vp, dt, decay_rate, mode):
+        from cudafluidsimulation_tpu.ops import advect_pallas
+
+        hl = up.shape[0] - 2 * d
+        wl = up.shape[1] - 2 * d
+        r0, c0 = lax.axis_index(row_axis) * hl, lax.axis_index(col_axis) * wl
+        out = advect_pallas.advect(
+            fields_p, up, vp, dt, float(decay_rate), mode, d,
+            y0=r0 - d, h_phys=h_global, x0=c0 - d, w_phys=w_global, d_x=d)
+        return out[:, d:-d, d:-d]
+
+    def advect_velocity(u, v, dt, decay_rate):
+        if use_pallas:
+            fp = _x2d(jnp.stack([u, v]), d)
+            uv = _advect_pallas_2d(fp, fp[0], fp[1], dt, decay_rate, "field")
+            return uv[0], uv[1]
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        uv = _bilerp_2d(jnp.stack([u, v]), u, v, dt) * decay
+        return uv[0], uv[1]
+
+    def advect_dye(dye, u, v, dt, decay_rate):
+        if use_pallas:
+            zpad = [(d, d), (d, d)]
+            return _advect_pallas_2d(_x2d(dye, d), jnp.pad(u, zpad),
+                                     jnp.pad(v, zpad), dt, decay_rate, "dye")
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        c = _bilerp_2d(dye, u, v, dt)
+        return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+
+    # -- stencil stages ---------------------------------------------------------
+
+    def curl(u, v):
+        uvp = _x2d(jnp.stack([u, v]), 1)
+        l, r, b, t = _neighbors_2d(uvp)
+        return 0.5 * (r[1] - l[1] - t[0] + b[0])
+
+    def vorticity_confinement_cpu(u, v, dt, vorticity):
+        w = curl(u, v)
+        al, ar, ab, at = _neighbors_2d(_x2d(jnp.abs(w), 1))
+        fx = 0.5 * (at - ab)
+        fy = 0.5 * (ar - al)
+        ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
+        s = w * vorticity / ln
+        return u - fx * s * dt, v - fy * s * dt
+
+    def vorticity_confinement_gpu(u, v, dt, vorticity):
+        w = curl(u, v)
+        wl, wr, wb, wt = _neighbors_2d(_x2d(w, 1))
+        fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
+        fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
+        ln = jnp.sqrt(fx * fx + fy * fy) + 1e-3
+        s = w * vorticity / ln
+        return u + fx * s * dt, v + fy * s * dt
+
+    def _jacobi(fields, alpha, iters):
+        inv_beta = 1.0 / (4.0 + alpha)
+
+        def sweep(x, _):
+            l, r, b, t = _neighbors_2d(_x2d(x, 1))
+            return (l + r + b + t + x * alpha) * inv_beta, None
+
+        out, _ = lax.scan(sweep, fields, None, length=iters)
+        return out
+
+    def _pallas_bursts_2d(fields, run_burst, iters, k, rhs=None):
+        """k local sweeps per 2-D (corner-carrying) halo exchange; the
+        single-chip burst kernel mirror-ghosts its y edges and clamp-ghosts
+        its x edges — both wrong for interior shard seams by at most one
+        row/col per sweep (trapezoid), i.e. exactly the kk-deep margin
+        sliced off; at true domain edges the mirror/clamp ghosts ARE the
+        Neumann condition."""
+        squeeze = fields.ndim == 2
+        x = fields[None] if squeeze else fields
+        rp = None
+        if rhs is not None:
+            k = min(k, iters)
+            rp = _x2d(rhs, k, edge="mirror")
+        left = iters
+        while left > 0:
+            kk = min(k, left)
+            xp = _x2d(x, kk, edge="mirror")
+            if rhs is None:
+                xp = run_burst(xp, kk)
+            else:
+                rr = rp if kk == k else rp[..., k - kk: kk - k, k - kk: kk - k]
+                xp = run_burst(xp, rr, kk)
+            x = xp[..., kk:-kk, kk:-kk]
+            left -= kk
+        return x[0] if squeeze else x
+
+    def diffuse(fields, dt, diffusion, iters):
+        if use_pallas:
+            from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+            def burst(xp, kk):
+                return jacobi_pallas.diffuse(xp, dt, diffusion, kk, burst=kk)
+
+            return _pallas_bursts_2d(fields, burst, iters, pallas_burst)
+        return _jacobi(fields, diffusion * diffusion / dt, iters)
+
+    def diffuse_multi(fields, dt, coeffs, iters):
+        coeffs = jnp.asarray(coeffs, jnp.float32)
+        if use_pallas:
+            from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+            def burst(xp, kk):
+                return jacobi_pallas.diffuse_multi(xp, dt, coeffs, kk, burst=kk)
+
+            return _pallas_bursts_2d(fields, burst, iters, pallas_burst)
+        return _jacobi(fields, (coeffs * coeffs / dt)[:, None, None], iters)
+
+    def divergence(u, v, half):
+        uvp = _x2d(jnp.stack([u, v]), 1)
+        l, r, b, t = _neighbors_2d(uvp)
+        dd = (r[0] - l[0]) + (t[1] - b[1])
+        return 0.5 * dd if half else dd
+
+    def pressure_solve(div, iters):
+        if use_pallas:
+            from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+            def burst(pp, dd, kk):
+                return jacobi_pallas.pressure_solve(dd, kk, burst=kk,
+                                                    init=pp[0])[None]
+
+            return _pallas_bursts_2d(jnp.zeros_like(div), burst, iters,
+                                     pallas_burst, rhs=div)
+
+        def sweep(p, _):
+            l, r, b, t = _neighbors_2d(_x2d(p, 1))
+            return (l + r + b + t - div) * 0.25, None
+
+        p, _ = lax.scan(sweep, jnp.zeros_like(div), None, length=iters)
+        return p
+
+    def project(u, v, p):
+        l, r, b, t = _neighbors_2d(_x2d(p, 1))
+        return u - 0.5 * (r - l), v - 0.5 * (t - b)
+
+    def pressure_project(u, v, iters, half):
+        dd = divergence(u, v, half)
+        p = pressure_solve(dd, iters)
+        u2, v2 = project(u, v, p)
+        return u2, v2, p
+
+    # -- multigrid ---------------------------------------------------------------
+
+    def _mg_neighbors(p):
+        return _neighbors_2d(_x2d(p, 1))
+
+    def _mg_smooth(p, rhs, sweeps):
+        from cudafluidsimulation_tpu.ops.multigrid import _OMEGA
+        from cudafluidsimulation_tpu.ops.stencil import neighbors as _nb
+
+        hl, wl = p.shape[-2], p.shape[-1]
+        left = sweeps
+        while left > 0:
+            k = min(left, hl, wl, 8)
+            pp = _x2d(p, k, edge="mirror")
+            rp = _x2d(rhs, k, edge="mirror")
+            for _ in range(k):
+                l, r, b, t = _nb(pp)
+                pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
+            p = pp[..., k:-k, k:-k]
+            left -= k
+        return p
+
+    def pressure_solve_mg(div, cycles):
+        """2-D-sharded V-cycle: burst smoothing, global level hierarchy,
+        sub-cap levels all-gathered along BOTH axes (tiny at that depth)."""
+        from cudafluidsimulation_tpu.ops import multigrid as mg
+
+        hl, wl = div.shape
+        level = mg._levels(h_global, w_global)
+
+        def cap_of(n):
+            c = 1
+            while n % 2 == 0 and n >= 2:
+                n //= 2
+                c += 1
+            return c
+
+        local_cap = min(cap_of(hl), cap_of(wl))
+        bottom = None
+        if level > local_cap:
+            from cudafluidsimulation_tpu.ops.stencil import neighbors as _loc_nb
+
+            remaining = level - local_cap + 1
+            single_vcycle, _ = mg.make_vcycle(_loc_nb)
+
+            def bottom(p, rhs, nu1, nu2, coarse_sweeps):
+                pf = lax.all_gather(p, row_axis, axis=0, tiled=True)
+                pf = lax.all_gather(pf, col_axis, axis=1, tiled=True)
+                rf = lax.all_gather(rhs, row_axis, axis=0, tiled=True)
+                rf = lax.all_gather(rf, col_axis, axis=1, tiled=True)
+                e = single_vcycle(pf, rf, remaining, nu1, nu2, coarse_sweeps)
+                rr, cc = p.shape
+                e = lax.dynamic_slice_in_dim(
+                    e, lax.axis_index(row_axis) * rr, rr, 0)
+                return lax.dynamic_slice_in_dim(
+                    e, lax.axis_index(col_axis) * cc, cc, 1)
+
+        vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
+                                   bottom_fn=bottom)
+        rhs = -div
+        p = jnp.zeros_like(div)
+        for _ in range(cycles):
+            p = vcycle(p, rhs, min(level, local_cap), 2, 2, 20)
+        return p
+
+    # -- pointwise stages ---------------------------------------------------------
+
+    def _splat(kind):
+        def splat(u, v, dye, cur, last, dt, force_scale, radius, color):
+            ys_f, _, xs_f, _ = _global_grids(u.shape)
+            return ref.splat_core(u, v, dye, cur, last, dt, force_scale,
+                                  radius, color, xs_f, ys_f, kind)
+
+        return splat
+
+    def boundary_strip(u, v, dye, rows):
+        _, ys_i, _, _ = _global_grids(u.shape)
+        return ref.boundary_strip_core(u, v, dye, rows, ys_i)
+
+    def apply_bloom(rgba, pos, intense, radius):
+        shape = (rgba.shape[-2], rgba.shape[-1])
+        ys_f, _, xs_f, _ = _global_grids(shape)
+        return ref.bloom_core(rgba, pos, intense, radius, xs_f, ys_f)
+
+    ns.bilerp = ref.bilerp
+    ns.advect_velocity = advect_velocity
+    ns.advect_dye = advect_dye
+    ns.curl = curl
+    ns.vorticity_confinement_cpu = vorticity_confinement_cpu
+    ns.vorticity_confinement_gpu = vorticity_confinement_gpu
+    ns.diffuse = diffuse
+    ns.diffuse_multi = diffuse_multi
+    ns.divergence = divergence
+    ns.pressure_solve = pressure_solve
+    ns.pressure_solve_mg = pressure_solve_mg
+    ns.pressure_project = pressure_project
+    ns.project = project
+    ns.splat_cpu = _splat("cpu")
+    ns.splat_gpu = _splat("gpu")
+    ns.cycle_color = ref.cycle_color
+    ns.boundary_strip = boundary_strip
+    ns.pack_rgba = ref.pack_rgba
+    ns.apply_bloom = apply_bloom
+    return ns
+
+
+def _state_spec2d() -> FluidState:
+    plane = P("rows", "cols")
+    return FluidState(
+        u=plane, v=plane, dye=P(None, "rows", "cols"), pressure=plane,
+        t=P(), press_time=P(), time_since_press=P(), mouse=P(None), step=P(),
+    )
+
+
+def shard_state_2d(state: FluidState, mesh: Mesh) -> FluidState:
+    spec = _state_spec2d()
+    return jax.device_put(
+        state, jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                            is_leaf=lambda x: isinstance(x, P)))
+
+
+def _local_ops_2d(config: FluidConfig, mesh: Mesh):
+    nr, nc = mesh.shape["rows"], mesh.shape["cols"]
+    if config.ny % nr != 0 or config.nx % nc != 0:
+        raise ValueError(
+            f"grid {config.nx}x{config.ny} not divisible by mesh {nr}x{nc}")
+    hl, wl = config.ny // nr, config.nx // nc
+    d = config.max_displacement
+    if hl < d or wl < d:
+        raise ValueError(
+            f"shard {wl}x{hl} smaller than max_displacement={d}; use fewer "
+            f"shards, a larger grid, or a smaller bound")
+    use_pallas = config.resolve_backend() == "pallas"
+    if use_pallas:
+        import dataclasses
+
+        from cudafluidsimulation_tpu.ops import advect_pallas, jacobi_pallas
+
+        k = min(config.jacobi_burst, hl, wl)
+        local_jac = dataclasses.replace(config, ny=hl + 2 * k, nx=wl + 2 * k)
+        use_pallas = (jacobi_pallas.supported(local_jac)
+                      and advect_pallas.supported(hl + 2 * d, wl + 2 * d, 3, d))
+    return sharded_ops_2d(
+        "rows", "cols", config.ny, config.nx, d,
+        use_pallas=use_pallas,
+        pallas_burst=min(config.jacobi_burst, hl, wl),
+    )
+
+
+def make_shardmap2d_step(config: FluidConfig, mesh: Mesh):
+    """jit(shard_map(step)) over a (rows x cols) spatial mesh."""
+    from jax import shard_map
+
+    from cudafluidsimulation_tpu.models.pipelines import make_step
+
+    step = make_step(config, _local_ops_2d(config, mesh))
+    ss = _state_spec2d()
+    imp_spec = Impulse(pos=P(None), last_pos=P(None), pressed=P(), dt=P())
+    sharded = shard_map(
+        step, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss,
+        check_vma=(config.resolve_backend() != "pallas"),
+    )
+    return jax.jit(sharded)
+
+
+def make_shardmap2d_rollout(config: FluidConfig, mesh: Mesh):
+    """jit(shard_map(scan(step))) over a (rows x cols) spatial mesh."""
+    from jax import shard_map
+
+    from cudafluidsimulation_tpu.models.pipelines import make_step
+
+    step = make_step(config, _local_ops_2d(config, mesh))
+
+    def run(state, impulses):
+        final, _ = lax.scan(lambda s, i: (step(s, i), None), state, impulses)
+        return final
+
+    ss = _state_spec2d()
+    imp_spec = Impulse(pos=P(None, None), last_pos=P(None, None),
+                       pressed=P(None), dt=P(None))
+    sharded = shard_map(
+        run, mesh=mesh, in_specs=(ss, imp_spec), out_specs=ss,
+        check_vma=(config.resolve_backend() != "pallas"),
+    )
+    return jax.jit(sharded)
