@@ -64,8 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "(re-runs the rollout un-jitted, slow)")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the rollout")
-    p.add_argument("--view", choices=["none", "term"], default="none",
-                   help="live view: 'term' renders frames as ANSI half-blocks")
+    p.add_argument("--view", choices=["none", "term", "http"], default="none",
+                   help="live view: 'term' renders frames as ANSI "
+                   "half-blocks; 'http' serves a browser live stream "
+                   "(multipart PNG) on --http-port")
+    p.add_argument("--http-port", type=int, default=0,
+                   help="port for --view http (0 = pick a free one)")
     p.add_argument("--interactive", action="store_true",
                    help="with --view term: steer the fluid live (mouse drag "
                    "or WASD+space; q quits) — the reference's mouse capture, "
@@ -134,13 +138,13 @@ def main(argv=None) -> int:
     else:
         state = sim.init()
 
-    if args.view == "term":
-        # interactive-style frame loop with live ANSI rendering; honors the
-        # chosen impulse script and the save/checkpoint flags
+    if args.view != "none":
+        # interactive-style frame loop with a live view (ANSI terminal or
+        # browser HTTP stream); honors the chosen impulse script and the
+        # save/checkpoint flags
         from cudafluidsimulation_tpu.models.app import (
             FluidApp, orbit_source, replay_source,
         )
-        from cudafluidsimulation_tpu.utils.term_view import TermViewer
 
         if args.impulse_file:
             # replay the loaded script frame-by-frame (dt comes from the
@@ -155,32 +159,42 @@ def main(argv=None) -> int:
             def source(t, _c=(0.0, 0.0)):
                 return _c, _c, False
 
-        if args.frames_dir:
-            print("note: --frames-dir is ignored with --view term "
-                  "(frames go to the terminal)")
-        if args.apng:
-            print("note: --apng is ignored with --view term "
-                  "(frames go to the terminal)")
-        if args.video:
-            print("note: --video is ignored with --view term "
-                  "(frames go to the terminal)")
+        for flag, name in [(args.frames_dir, "--frames-dir"),
+                           (args.apng, "--apng"), (args.video, "--video")]:
+            if flag:
+                print(f"note: {name} is ignored with --view {args.view} "
+                      "(frames go to the live view)")
         if args.health is not None:
-            print("note: --health is ignored with --view term "
+            print(f"note: --health is ignored with --view {args.view} "
                   "(the frame loop surfaces failures per frame)")
 
-        viewer = TermViewer()
+        if args.view == "http":
+            from cudafluidsimulation_tpu.utils.http_view import HttpViewer
+
+            viewer = HttpViewer(port=args.http_port, width=nx, height=ny)
+            print(f"live view: {viewer.url}  (Ctrl-C to stop)")
+        else:
+            from cudafluidsimulation_tpu.utils.term_view import TermViewer
+
+            viewer = TermViewer()
+
         if args.interactive:
             # live input: mouse drag / WASD — the reference's interactive
             # loop (Main.cpp:213-243), terminal edition.  Sized to the
-            # viewer so mouse cells land on the rendered pixels.
+            # TERM viewer so mouse cells land on the rendered pixels; with
+            # the http view the terminal carries only input, so cells map
+            # onto the whole grid.
             import shutil
 
             from cudafluidsimulation_tpu.utils.term_input import TermInput
 
             size = shutil.get_terminal_size((80, 24))
-            cols = viewer.cols or min(size.columns, 120)
-            rows = viewer.rows or min(size.lines - 2, 48)
-            viewer.cols, viewer.rows = cols, rows
+            cols = min(size.columns, 120)
+            rows = min(size.lines - 2, 48)
+            if args.view == "term":
+                cols = viewer.cols or cols
+                rows = viewer.rows or rows
+                viewer.cols, viewer.rows = cols, rows
             tin = TermInput(nx, ny, cols, rows)
             with tin:
                 app = FluidApp(cfg, input_source=tin.source(),
@@ -194,8 +208,14 @@ def main(argv=None) -> int:
             app = FluidApp(cfg, input_source=source,
                            frame_sink=viewer, fixed_dt=args.dt)
             app.state = state
-            report = app.run(max_frames=args.steps, pipelined=args.pipelined)
+            try:
+                report = app.run(max_frames=args.steps or None,
+                                 pipelined=args.pipelined)
+            except KeyboardInterrupt:
+                report = None
             state = app.state
+        if args.view == "http":
+            viewer.close()
         if args.save_fields:
             np.savez_compressed(
                 args.save_fields,
@@ -206,7 +226,8 @@ def main(argv=None) -> int:
         if args.checkpoint:
             save_state(args.checkpoint, state)
             print(f"saved checkpoint to {args.checkpoint}")
-        print(report.format())
+        if report is not None:
+            print(report.format())
         return 0
 
     import contextlib

@@ -1,0 +1,241 @@
+"""Live browser viewer: HTTP multipart-PNG streaming.
+
+The reference displays the fluid in an OpenGL window (Main.cpp:166-180);
+headless TPU hosts have no display, so this serves the live view to ANY
+browser on the network as a ``multipart/x-mixed-replace`` PNG stream (the
+MJPEG idiom).  The native backend (native/httpview.cpp, auto-built like the
+frame sink) encodes and fans out frames off the simulation thread; a pure
+Python ``http.server`` fallback keeps the feature available without a
+toolchain.
+
+Usage: CLI ``--view http [--http-port N]``, or::
+
+    with HttpViewer(width=512, height=512) as hv:
+        print(hv.url)          # e.g. http://localhost:40123/
+        hv.push(frame)         # (H, W, 4) uint8, as often as you like
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from cudafluidsimulation_tpu.utils.native_sink import _NATIVE_DIR
+
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhttpview.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.hv_open.restype = ctypes.c_void_p
+            lib.hv_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.hv_port.restype = ctypes.c_int
+            lib.hv_port.argtypes = [ctypes.c_void_p]
+            lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.hv_clients.restype = ctypes.c_int
+            lib.hv_clients.argtypes = [ctypes.c_void_p]
+            lib.hv_frames.restype = ctypes.c_uint64
+            lib.hv_frames.argtypes = [ctypes.c_void_p]
+            lib.hv_close.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class _PyHttpView:
+    """http.server fallback with the same routes as the native server."""
+
+    def __init__(self, port: int, width: int, height: int):
+        import http.server
+        import socketserver
+
+        from cudafluidsimulation_tpu.utils.png import png_bytes
+
+        view = self
+        view._latest = b""
+        view._seq = 0
+        view._cond = threading.Condition()
+        view._png_bytes = png_bytes
+        view.clients = 0
+        view.frames = 0
+
+        page = (b"<!doctype html><html><head><title>tpu-stable-fluids"
+                b"</title></head><body style='background:#111;color:#ddd;"
+                b"text-align:center;font-family:monospace'>"
+                b"<div>tpu-stable-fluids &mdash; live</div>"
+                b"<img src='/stream' alt='live stream'></body></html>")
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
+                elif self.path == "/frame":
+                    with view._cond:
+                        data = view._latest
+                    self.send_response(200 if data else 503)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame")
+                    self.end_headers()
+                    view.clients += 1
+                    last = 0
+                    try:
+                        while True:
+                            with view._cond:
+                                view._cond.wait_for(
+                                    lambda: view._seq > last, timeout=0.25)
+                                if view._seq == last:
+                                    continue
+                                data, last = view._latest, view._seq
+                            self.wfile.write(
+                                b"--frame\r\nContent-Type: image/png\r\n"
+                                + f"Content-Length: {len(data)}\r\n\r\n".encode()
+                                + data + b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    finally:
+                        view.clients -= 1
+                else:
+                    self.send_error(404)
+
+        class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        self._srv = Server(("0.0.0.0", port), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def push(self, frame: np.ndarray) -> None:
+        data = self._png_bytes(frame)
+        with self._cond:
+            self._latest = data
+            self._seq += 1
+            self._cond.notify_all()
+        self.frames += 1
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class HttpViewer:
+    """Frame sink that serves a live multipart-PNG stream over HTTP.
+
+    ``port=0`` binds an ephemeral port (read ``.port``/``.url``).  Pushing
+    never blocks on viewers; slow clients skip frames (latest-wins)."""
+
+    def __init__(self, port: int = 0, width: int = 0, height: int = 0,
+                 force_python: bool = False):
+        self._w, self._h = width, height
+        self._lib = None if force_python else _load()
+        self._handle = None
+        self._py = None
+        if self._lib is not None and width and height:
+            self._open_native(port)
+        elif width and height:
+            self._py = _PyHttpView(port, width, height)
+        self._want_port = port
+
+    def _open_native(self, port: int) -> None:
+        self._handle = ctypes.c_void_p(
+            self._lib.hv_open(port, self._w, self._h))
+        if self._lib.hv_port(self._handle) == 0:
+            self._lib.hv_close(self._handle)  # bind failed
+            self._handle = None
+            self._py = _PyHttpView(port, self._w, self._h)
+
+    @property
+    def port(self) -> int:
+        if self._handle is not None:
+            return int(self._lib.hv_port(self._handle))
+        return self._py.port if self._py is not None else 0
+
+    @property
+    def url(self) -> str:
+        return f"http://localhost:{self.port}/"
+
+    @property
+    def clients(self) -> int:
+        if self._handle is not None:
+            return int(self._lib.hv_clients(self._handle))
+        return self._py.clients if self._py is not None else 0
+
+    @property
+    def frames(self) -> int:
+        if self._handle is not None:
+            return int(self._lib.hv_frames(self._handle))
+        return self._py.frames if self._py is not None else 0
+
+    def push(self, frame: np.ndarray) -> None:
+        """Publish an (H, W, 4) uint8 frame (lazily opens on first frame
+        when constructed without dimensions — the FluidApp sink pattern)."""
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        if frame.ndim != 3 or frame.shape[2] != 4:
+            raise ValueError(f"expected (H, W, 4) uint8, got {frame.shape}")
+        if self._handle is None and self._py is None:
+            self._h, self._w = frame.shape[:2]
+            if self._lib is not None:
+                self._open_native(self._want_port)
+            else:
+                self._py = _PyHttpView(self._want_port, self._w, self._h)
+        if frame.shape[:2] != (self._h, self._w):
+            raise ValueError(
+                f"frame is {frame.shape[1]}x{frame.shape[0]}, viewer is "
+                f"{self._w}x{self._h}")
+        if self._handle is not None:
+            self._lib.hv_push(self._handle, frame.tobytes())
+        else:
+            self._py.push(frame)
+
+    # FluidApp frame_sink interface
+    def __call__(self, frame: np.ndarray) -> None:
+        self.push(frame)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.hv_close(self._handle)
+            self._handle = None
+        if self._py is not None:
+            self._py.close()
+            self._py = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -33,16 +33,21 @@ def _check(rgba: np.ndarray) -> np.ndarray:
     return rgba
 
 
-def write_png(path: str, rgba: np.ndarray) -> None:
-    """Write an (H, W, 4) uint8 array as an RGBA PNG."""
+def png_bytes(rgba: np.ndarray) -> bytes:
+    """Encode an (H, W, 4) uint8 array as RGBA PNG bytes."""
     rgba = _check(rgba)
     h, w = rgba.shape[:2]
     out = b"\x89PNG\r\n\x1a\n"
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
     out += _chunk(b"IDAT", zlib.compress(_scanlines(rgba), 6))
     out += _chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, rgba: np.ndarray) -> None:
+    """Write an (H, W, 4) uint8 array as an RGBA PNG."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(png_bytes(rgba))
 
 
 def write_apng(path: str, frames, fps: float = 30.0, loops: int = 0) -> None:

@@ -1,0 +1,291 @@
+// Native HTTP live-view server.
+//
+// The reference shows the simulation in an OpenGL window (Main.cpp:166-180);
+// this is the headless TPU rebuild's live display: a tiny dependency-free
+// HTTP server that streams the latest frame to any browser as a
+// multipart/x-mixed-replace PNG stream (the MJPEG-stream idiom, with the
+// repo's own PNG encoder instead of JPEG).  The simulation thread pushes
+// RGBA frames; encoding happens on the pushing thread's call (cheap at view
+// sizes) and clients are fanned out from per-connection threads, so a slow
+// or stalled viewer can never stall the simulation — it just skips frames
+// (latest-wins, like a real display).
+//
+// Routes:
+//   GET /        tiny HTML page embedding the stream
+//   GET /frame   single latest PNG (curl-able readiness/health probe)
+//   GET /stream  multipart/x-mixed-replace live stream
+//
+// C ABI (used from Python via ctypes):
+//   hv_open(port, w, h) -> handle   (port 0 = ephemeral; see hv_port)
+//   hv_port(handle)                 actual bound port, 0 on bind failure
+//   hv_push(handle, rgba_ptr)       publish a frame (encodes, notifies)
+//   hv_clients(handle)              currently connected stream clients
+//   hv_frames(handle)               frames published
+//   hv_close(handle)                stop accepting, drop clients, join, free
+//
+// Build: g++ -O3 -shared -fPIC httpview.cpp -o libhttpview.so -lz -pthread
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "png_encode.h"
+
+namespace {
+
+const char* kPage =
+    "<!doctype html><html><head><title>tpu-stable-fluids</title>"
+    "<style>body{background:#111;color:#ddd;font-family:monospace;"
+    "text-align:center}img{image-rendering:pixelated;margin-top:1em;"
+    "max-width:96vw;max-height:88vh}</style></head><body>"
+    "<div>tpu-stable-fluids &mdash; live</div>"
+    "<img src=\"/stream\" alt=\"live stream\"></body></html>";
+
+bool send_all(int fd, const void* data, size_t n) {
+  const char* p = static_cast<const char*>(data);
+  while (n > 0) {
+    ssize_t k = ::send(fd, p, n, MSG_NOSIGNAL);
+    if (k <= 0) return false;
+    p += k;
+    n -= size_t(k);
+  }
+  return true;
+}
+
+bool send_str(int fd, const std::string& s) {
+  return send_all(fd, s.data(), s.size());
+}
+
+struct HttpView {
+  int w = 0, h = 0;
+  int listen_fd = -1;
+  int port = 0;
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t> latest;  // encoded PNG
+  uint64_t seq = 0;
+  bool closing = false;
+
+  std::atomic<int> clients{0};
+  std::atomic<uint64_t> frames{0};
+
+  std::thread acceptor;
+  std::vector<std::thread> conns;
+  std::mutex conns_mu;
+  std::vector<int> conn_fds;
+
+  bool bind_listen(int want_port) {
+    listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (listen_fd < 0) return false;
+    int one = 1;
+    setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    addr.sin_port = htons(uint16_t(want_port));
+    if (::bind(listen_fd, (sockaddr*)&addr, sizeof(addr)) != 0 ||
+        ::listen(listen_fd, 8) != 0) {
+      ::close(listen_fd);
+      listen_fd = -1;
+      return false;
+    }
+    socklen_t len = sizeof(addr);
+    getsockname(listen_fd, (sockaddr*)&addr, &len);
+    port = ntohs(addr.sin_port);
+    return true;
+  }
+
+  void serve_client(int fd) {
+    // read the request line (we only need the path)
+    char buf[2048];
+    ssize_t n = ::recv(fd, buf, sizeof(buf) - 1, 0);
+    if (n <= 0) {
+      ::close(fd);
+      return;
+    }
+    buf[n] = 0;
+    std::string req(buf);
+    std::string path = "/";
+    size_t sp1 = req.find(' ');
+    if (sp1 != std::string::npos) {
+      size_t sp2 = req.find(' ', sp1 + 1);
+      if (sp2 != std::string::npos) path = req.substr(sp1 + 1, sp2 - sp1 - 1);
+    }
+
+    if (path == "/") {
+      char head[256];
+      snprintf(head, sizeof(head),
+               "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               "Content-Length: %zu\r\nConnection: close\r\n\r\n",
+               strlen(kPage));
+      send_str(fd, head);
+      send_str(fd, kPage);
+      ::close(fd);
+      return;
+    }
+
+    if (path == "/frame") {
+      std::vector<uint8_t> png;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        png = latest;
+      }
+      if (png.empty()) {
+        send_str(fd, "HTTP/1.1 503 Service Unavailable\r\n"
+                     "Content-Length: 0\r\nConnection: close\r\n\r\n");
+      } else {
+        char head[256];
+        snprintf(head, sizeof(head),
+                 "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                 "Content-Length: %zu\r\nConnection: close\r\n\r\n",
+                 png.size());
+        send_str(fd, head);
+        send_all(fd, png.data(), png.size());
+      }
+      ::close(fd);
+      return;
+    }
+
+    if (path == "/stream") {
+      if (!send_str(fd,
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: multipart/x-mixed-replace; "
+                    "boundary=frame\r\nCache-Control: no-cache\r\n"
+                    "Connection: close\r\n\r\n")) {
+        ::close(fd);
+        return;
+      }
+      clients++;
+      uint64_t last_sent = 0;
+      for (;;) {
+        std::vector<uint8_t> png;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          // timed wait so the thread notices `closing` even if no frames
+          // arrive; latest-wins (a slow client skips intermediate frames)
+          cv.wait_for(lk, std::chrono::milliseconds(250), [&] {
+            return closing || seq > last_sent;
+          });
+          if (closing) break;
+          if (seq == last_sent) continue;
+          png = latest;
+          last_sent = seq;
+        }
+        char part[160];
+        snprintf(part, sizeof(part),
+                 "--frame\r\nContent-Type: image/png\r\n"
+                 "Content-Length: %zu\r\n\r\n",
+                 png.size());
+        if (!send_str(fd, part) || !send_all(fd, png.data(), png.size()) ||
+            !send_str(fd, "\r\n"))
+          break;  // viewer went away
+      }
+      clients--;
+      ::close(fd);
+      return;
+    }
+
+    send_str(fd, "HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n"
+                 "Connection: close\r\n\r\n");
+    ::close(fd);
+  }
+
+  void accept_loop() {
+    for (;;) {
+      int fd = ::accept(listen_fd, nullptr, nullptr);
+      if (fd < 0) return;  // listener closed -> shutting down
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (closing) {
+          ::close(fd);
+          return;
+        }
+      }
+      int one = 1;
+      setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      {
+        std::lock_guard<std::mutex> lk(conns_mu);
+        conn_fds.push_back(fd);
+        conns.emplace_back([this, fd] { serve_client(fd); });
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hv_open(int port, int w, int h) {
+  auto* s = new HttpView();
+  s->w = w;
+  s->h = h;
+  if (!s->bind_listen(port)) {
+    s->port = 0;  // caller checks hv_port() == 0
+    return s;
+  }
+  s->acceptor = std::thread([s] { s->accept_loop(); });
+  return s;
+}
+
+int hv_port(void* handle) {
+  return static_cast<HttpView*>(handle)->port;
+}
+
+void hv_push(void* handle, const uint8_t* rgba) {
+  auto* s = static_cast<HttpView*>(handle);
+  std::vector<uint8_t> png = pngenc::encode_png(rgba, s->w, s->h);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->latest = std::move(png);
+    s->seq++;
+  }
+  s->frames++;
+  s->cv.notify_all();
+}
+
+int hv_clients(void* handle) {
+  return static_cast<HttpView*>(handle)->clients.load();
+}
+
+uint64_t hv_frames(void* handle) {
+  return static_cast<HttpView*>(handle)->frames.load();
+}
+
+void hv_close(void* handle) {
+  auto* s = static_cast<HttpView*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->closing = true;
+  }
+  s->cv.notify_all();
+  if (s->listen_fd >= 0) {
+    ::shutdown(s->listen_fd, SHUT_RDWR);
+    ::close(s->listen_fd);
+  }
+  if (s->acceptor.joinable()) s->acceptor.join();
+  {
+    // unblock clients stuck in send() to dead peers
+    std::lock_guard<std::mutex> lk(s->conns_mu);
+    for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
+  }
+  for (auto& t : s->conns)
+    if (t.joinable()) t.join();
+  delete s;
+}
+
+}  // extern "C"
