@@ -88,7 +88,8 @@ def exchange_2d(a: jnp.ndarray, width: int, row_axis: str, col_axis: str,
                          width, col_axis, edge)
 
 
-def measure_halo_traffic(config, mesh, axis_name: str = "x") -> dict:
+def measure_halo_traffic(config, mesh, axis_name: str = "x",
+                         step_builder=None) -> dict:
     """Count the collective traffic of the shard_map step by walking its
     traced jaxpr — a measurement of the actual communication schedule (every
     ``ppermute``/``all_gather`` XLA will emit), not a hand-model.
@@ -96,6 +97,10 @@ def measure_halo_traffic(config, mesh, axis_name: str = "x") -> dict:
     Returns per-DEVICE, per-STEP numbers: collective op counts, bytes moved
     over ICI, and derived sweeps-per-exchange for the Jacobi stages.  Tracing
     is shape-only, so this works for 8192² without allocating fields.
+
+    ``step_builder(config, mesh)`` overrides the step under measurement
+    (e.g. ``shardmap2d.make_shardmap2d_step`` for a rows x cols mesh);
+    default is the rows-only ``make_shardmap_step``.
     """
     import numpy as np
 
@@ -122,7 +127,10 @@ def measure_halo_traffic(config, mesh, axis_name: str = "x") -> dict:
         pressed=jax.ShapeDtypeStruct((), jnp.bool_),
         dt=jax.ShapeDtypeStruct((), f32),
     )
-    step = make_shardmap_step(config, mesh, axis_name)
+    if step_builder is not None:
+        step = step_builder(config, mesh)
+    else:
+        step = make_shardmap_step(config, mesh, axis_name)
     jaxpr = jax.make_jaxpr(step)(state, imp)
 
     counts = {"ppermute": 0, "all_gather": 0, "bytes": 0}

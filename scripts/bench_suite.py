@@ -187,6 +187,20 @@ def main():
             rec["ici_mb_per_step_per_device"] = round(
                 traffic["ici_bytes_per_step_per_device"] / 1e6, 2)
             print(json.dumps(rec), flush=True)
+
+            # same model for the 2-D (rows x cols) torus layout
+            from cudafluidsimulation_tpu.parallel.shardmap2d import (
+                make_mesh2d, make_shardmap2d_step,
+            )
+
+            mesh2 = make_mesh2d(2, 4, devices=cpu_devs)
+            t2 = measure_halo_traffic(cfg, mesh2,
+                                      step_builder=make_shardmap2d_step)
+            rec2 = {"config": "sharded 8192^2 (2x4 rows-x-cols mesh model)"}
+            rec2.update(t2)
+            rec2["ici_mb_per_step_per_device"] = round(
+                t2["ici_bytes_per_step_per_device"] / 1e6, 2)
+            print(json.dumps(rec2), flush=True)
         else:
             print(json.dumps({"config": "sharded 8192^2",
                               "skipped": f"needs 8 devices, have {ndev}"}),
