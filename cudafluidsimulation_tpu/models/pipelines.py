@@ -72,7 +72,10 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
                 )
                 u, v = uv[0], uv[1]
 
-        # -- impulse splat (masked)
+        # -- impulse splat ("if pressed" as data, not control flow: the
+        #    force scale and dye color are zeroed when unpressed, which
+        #    makes the splat exactly the identity — u + 0*e == u — without
+        #    the five full-field where-blends a masked output needs)
         pressed = imp.pressed
         pressed_f = pressed.astype(jnp.float32)
         press_time = state.press_time + dt * pressed_f
@@ -83,12 +86,10 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         # both positions from the caller (Main.cpp:155).
         last = state.mouse if cpu_variant else imp.last_pos
         splat = ops.splat_cpu if cpu_variant else ops.splat_gpu
-        su, sv, sdye = splat(
-            u, v, dye, cur, last, dt, config.force_scale, config.splat_radius, color
+        u, v, dye = splat(
+            u, v, dye, cur, last, dt, config.force_scale * pressed_f,
+            config.splat_radius, color * pressed_f
         )
-        u = jnp.where(pressed, su, u)
-        v = jnp.where(pressed, sv, v)
-        dye = jnp.where(pressed, sdye, dye)
 
         # -- pressure projection
         if config.pressure_solver == "multigrid":
