@@ -75,6 +75,7 @@ def _step_with_diffusion(config, ops, diffusion):
     patched = types.SimpleNamespace(**vars(ops))
     base_diffuse = ops.diffuse
     base_multi = ops.diffuse_multi
+    base_multi_splat = ops.diffuse_multi_splat
 
     def diffuse(fields, dt, k, iters):
         if fields.shape[0] == 2:  # velocity planes: swept coefficient
@@ -86,8 +87,13 @@ def _step_with_diffusion(config, ops, diffusion):
         coeffs = jnp.asarray(coeffs, jnp.float32).at[:2].set(diffusion)
         return base_multi(fields, dt, coeffs, iters)
 
+    def diffuse_multi_splat(fields, dt, coeffs, iters, amps, last, radius):
+        coeffs = jnp.asarray(coeffs, jnp.float32).at[:2].set(diffusion)
+        return base_multi_splat(fields, dt, coeffs, iters, amps, last, radius)
+
     patched.diffuse = diffuse
     patched.diffuse_multi = diffuse_multi
+    patched.diffuse_multi_splat = diffuse_multi_splat
     from cudafluidsimulation_tpu.models.pipelines import make_step
 
     return make_step(config, patched)

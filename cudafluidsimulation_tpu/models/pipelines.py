@@ -49,30 +49,7 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         else:
             u, v = ops.vorticity_confinement_gpu(u, v, dt, config.vorticity)
 
-        # -- diffusion (velocity always; dye only where the reference's is
-        #    observable — the CPU path's is a buffered-out no-op).  When both
-        #    diffuse, they share one fused 5-channel pass with per-channel
-        #    coefficients (the reference used 2 CUDA streams for the same
-        #    concurrency, GPUFluidSim.cu:636-639).
-        if config.diffusion_iters > 0:
-            if config.color_diffusion_enabled:
-                coeffs = jnp.asarray(
-                    [config.velocity_diffusion] * 2 + [config.color_diffusion] * 3,
-                    jnp.float32,
-                )
-                all5 = ops.diffuse_multi(
-                    jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
-                    config.diffusion_iters,
-                )
-                u, v, dye = all5[0], all5[1], all5[2:]
-            else:
-                uv = ops.diffuse(
-                    jnp.stack([u, v]), dt, config.velocity_diffusion,
-                    config.diffusion_iters,
-                )
-                u, v = uv[0], uv[1]
-
-        # -- impulse splat ("if pressed" as data, not control flow: the
+        # -- impulse parameters ("if pressed" as data, not control flow: the
         #    force scale and dye color are zeroed when unpressed, which
         #    makes the splat exactly the identity — u + 0*e == u — without
         #    the five full-field where-blends a masked output needs)
@@ -85,11 +62,44 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         # lastMousePos globals, cpuFluidSim.cpp:31-32,409); gpu-parity gets
         # both positions from the caller (Main.cpp:155).
         last = state.mouse if cpu_variant else imp.last_pos
-        splat = ops.splat_cpu if cpu_variant else ops.splat_gpu
-        u, v, dye = splat(
-            u, v, dye, cur, last, dt, config.force_scale * pressed_f,
-            config.splat_radius, color * pressed_f
-        )
+        force_eff = config.force_scale * pressed_f
+        color_eff = color * pressed_f
+
+        # -- diffusion (velocity always; dye only where the reference's is
+        #    observable — the CPU path's is a buffered-out no-op) + splat.
+        #    When both diffuse, they share one fused 5-channel pass with
+        #    per-channel coefficients (the reference used 2 CUDA streams for
+        #    the same concurrency, GPUFluidSim.cu:636-639), and the splat
+        #    that follows (GPUFluidSim.cu:663) folds into the final
+        #    diffusion burst (same math, same order — amps carry
+        #    splat_gpu's exact scalar association).
+        if config.color_diffusion_enabled and not cpu_variant:
+            coeffs = jnp.asarray(
+                [config.velocity_diffusion] * 2 + [config.color_diffusion] * 3,
+                jnp.float32,
+            )
+            amps = jnp.concatenate([
+                jnp.stack([(last[0] - cur[0]) * force_eff * dt,
+                           (last[1] - cur[1]) * force_eff * dt]),
+                color_eff,
+            ])
+            all5 = ops.diffuse_multi_splat(
+                jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
+                config.diffusion_iters, amps, last, config.splat_radius,
+            )
+            u, v, dye = all5[0], all5[1], all5[2:]
+        else:
+            if config.diffusion_iters > 0:
+                uv = ops.diffuse(
+                    jnp.stack([u, v]), dt, config.velocity_diffusion,
+                    config.diffusion_iters,
+                )
+                u, v = uv[0], uv[1]
+            splat = ops.splat_cpu if cpu_variant else ops.splat_gpu
+            u, v, dye = splat(
+                u, v, dye, cur, last, dt, force_eff,
+                config.splat_radius, color_eff
+            )
 
         # -- pressure projection
         if config.pressure_solver == "multigrid":

@@ -23,6 +23,7 @@ _OP_NAMES = [
     "vorticity_confinement_gpu",
     "diffuse",
     "diffuse_multi",
+    "diffuse_multi_splat",
     "divergence",
     "pressure_solve",
     "pressure_solve_mg",

@@ -93,7 +93,8 @@ def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_stri
     out[0] = pe[hd:-hd, :]
 
 
-def _diffuse_kernel(alpha_ref, f_mid, f_lo, f_hi, out, *, k, hd, n_strips):
+def _diffuse_kernel(alpha_ref, amp_ref, sp_ref, f_mid, f_lo, f_hi, out,
+                    *, k, hd, n_strips, splat):
     i = pl.program_id(1)
     alpha = alpha_ref[pl.program_id(0), 0]  # per-channel coefficient
     inv_beta = 1.0 / (4.0 + alpha)
@@ -102,7 +103,24 @@ def _diffuse_kernel(alpha_ref, f_mid, f_lo, f_hi, out, *, k, hd, n_strips):
     for _ in range(k):
         l, r, b, t = _clamped_neighbors(fe)
         fe = (l + r + b + t + fe * alpha) * inv_beta
-    out[0] = fe[hd:-hd, :]
+    core = fe[hd:-hd, :]
+    if splat:
+        # fused gpu-variant splat tail (ref.splat_tail semantics): one
+        # Gaussian add per channel, amplitude from SMEM — saves the separate
+        # read-all/write-all splat pass after diffusion
+        r_rows, w = core.shape
+        amp = amp_ref[pl.program_id(0), 0]
+        lx = sp_ref[0, 0]
+        ly = sp_ref[1, 0]
+        rad = sp_ref[2, 0]
+        # Mosaic's iota is integer-only; match ref.coord_grids' f32 values
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, w), 0)
+              + i * r_rows).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(
+            jnp.int32, (r_rows, w), 1).astype(jnp.float32)
+        d2 = (xs - lx) ** 2 + (ys - ly) ** 2
+        core = core + amp * jnp.exp(-d2 / rad)
+    out[0] = core
 
 
 def _strip_specs(h: int, w: int, r: int, hd: int):
@@ -457,26 +475,43 @@ def diffuse(fields: jnp.ndarray, dt, diffusion, iters: int, *,
     return f[0] if squeeze else f
 
 
-def _diffuse_bursts(fields, alpha, iters, block_rows, burst):
-    """Shared burst loop; ``alpha`` is (C, 1) — per-channel Jacobi alpha."""
+def _diffuse_bursts(fields, alpha, iters, block_rows, burst, splat=None):
+    """Shared burst loop; ``alpha`` is (C, 1) — per-channel Jacobi alpha.
+    ``splat`` = (amps (C,), last (2,), radius) applies the fused gpu-variant
+    splat tail in the FINAL burst's kernel."""
     c, h, w = fields.shape
     f = fields
-    for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
+    if splat is not None:
+        amps, last, radius = splat
+        amp_arr = jnp.asarray(amps, jnp.float32).reshape(c, 1)
+        sp_arr = jnp.stack([
+            jnp.asarray(last[0], jnp.float32),
+            jnp.asarray(last[1], jnp.float32),
+            jnp.asarray(radius, jnp.float32),
+        ]).reshape(3, 1)
+    else:
+        amp_arr = jnp.zeros((c, 1), jnp.float32)
+        sp_arr = jnp.ones((3, 1), jnp.float32)
+    schedule = _burst_schedule(iters, burst, h, w, block_rows)
+    for bi, (k, r, hd, hp, wp) in enumerate(schedule):
+        with_splat = splat is not None and bi == len(schedule) - 1
         fi = _mirror_pad(f, h, w, hp, wp)
         mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
-        kern = functools.partial(_diffuse_kernel, k=k, hd=hd, n_strips=n_strips)
+        kern = functools.partial(_diffuse_kernel, k=k, hd=hd,
+                                 n_strips=n_strips, splat=with_splat)
+        smem_c = pl.BlockSpec((c, 1), lambda ci, i: (0, 0),
+                              memory_space=pltpu.SMEM)
+        smem_3 = pl.BlockSpec((3, 1), lambda ci, i: (0, 0),
+                              memory_space=pltpu.SMEM)
         f = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
             grid=(c, n_strips),
-            in_specs=[
-                pl.BlockSpec((c, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM),
-                mid, lo, hi,
-            ],
+            in_specs=[smem_c, smem_c, smem_3, mid, lo, hi],
             out_specs=pl.BlockSpec((1, r, wp), lambda ci, i: (ci, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=_interpret(),
-        )(alpha, fi, fi, fi)[:, :h, :w]
+        )(alpha, amp_arr, sp_arr, fi, fi, fi)[:, :h, :w]
     return f
 
 
@@ -492,3 +527,24 @@ def diffuse_multi(fields: jnp.ndarray, dt, coeffs, iters: int, *,
     kf = jnp.asarray(coeffs, jnp.float32).reshape(c, 1)
     alpha = kf * kf / jnp.asarray(dt, jnp.float32)
     return _diffuse_bursts(fields, alpha, iters, block_rows, burst)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))
+def diffuse_multi_splat(fields: jnp.ndarray, dt, coeffs, iters: int,
+                        amps, last, radius, *,
+                        block_rows: int = 256, burst: int = 8):
+    """diffuse_multi followed by the gpu-variant splat, with the splat's
+    per-channel Gaussian add fused into the FINAL burst kernel (the fields
+    are already VMEM-resident there — the separate splat pass the reference
+    launches, GPUFluidSim.cu:663, costs a full read+write of every field).
+    Matches ops.ref.diffuse_multi_splat to f32 rounding."""
+    c = fields.shape[0]
+    if iters == 0:
+        from cudafluidsimulation_tpu.ops import ref as _ref
+
+        xs, ys = _ref.coord_grids(fields.shape[-2], fields.shape[-1])
+        return _ref.splat_tail(fields, amps, last, radius, xs, ys)
+    kf = jnp.asarray(coeffs, jnp.float32).reshape(c, 1)
+    alpha = kf * kf / jnp.asarray(dt, jnp.float32)
+    return _diffuse_bursts(fields, alpha, iters, block_rows, burst,
+                           splat=(amps, last, radius))

@@ -36,6 +36,11 @@ def overrides(config: FluidConfig) -> dict:
             block_rows=config.block_rows,
             burst=config.jacobi_burst,
         )
+        out["diffuse_multi_splat"] = functools.partial(
+            jacobi_pallas.diffuse_multi_splat,
+            block_rows=config.block_rows,
+            burst=config.jacobi_burst,
+        )
         out["pressure_solve"] = functools.partial(
             jacobi_pallas.pressure_solve,
             block_rows=config.block_rows,

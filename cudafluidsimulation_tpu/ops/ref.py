@@ -193,6 +193,29 @@ def diffuse_multi(fields: Array, dt, coeffs, iters: int) -> Array:
     return out
 
 
+def splat_tail(fields: Array, amps, last, radius, xs, ys) -> Array:
+    """The gpu-variant splat as a per-channel-amplitude Gaussian add over
+    explicit coordinate grids: fields[c] += amps[c] * exp(-d2(last)/radius).
+
+    Algebraically identical to splat_gpu (GPUFluidSim.cu:519-532) with
+    amps = [(last-cur)*force*dt (x, y), color (r, g, b)] — the caller folds
+    the scalar products in splat_gpu's exact association order."""
+    d2 = (xs - last[0]) ** 2 + (ys - last[1]) ** 2
+    e = jnp.exp(-d2 / radius)
+    return fields + jnp.asarray(amps, jnp.float32)[:, None, None] * e[None]
+
+
+def diffuse_multi_splat(fields: Array, dt, coeffs, iters: int,
+                        amps, last, radius) -> Array:
+    """Per-channel diffusion followed by the gpu-variant splat, as one op —
+    the pallas backend fuses the splat into the final diffusion burst
+    (GPUFluidSim.cu runs diffuse :636-639 then applyForce :663 as separate
+    kernels; the composition here is the same math in the same order)."""
+    f = diffuse_multi(fields, dt, coeffs, iters)
+    xs, ys = coord_grids(fields.shape[-2], fields.shape[-1])
+    return splat_tail(f, amps, last, radius, xs, ys)
+
+
 # ---------------------------------------------------------------------------
 # Pressure: divergence -> Jacobi solve -> gradient subtraction
 # ---------------------------------------------------------------------------

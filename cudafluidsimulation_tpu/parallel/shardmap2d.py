@@ -217,6 +217,13 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             return _pallas_bursts_2d(fields, burst, iters, pallas_burst)
         return _jacobi(fields, (coeffs * coeffs / dt)[:, None, None], iters)
 
+    def diffuse_multi_splat(fields, dt, coeffs, iters, amps, last, radius):
+        # shard-local composition with GLOBAL coordinates (the splat tail is
+        # pointwise, so composition is exact)
+        f = diffuse_multi(fields, dt, coeffs, iters)
+        ys_f, _, xs_f, _ = _global_grids(fields.shape[-2:])
+        return ref.splat_tail(f, amps, last, radius, xs_f, ys_f)
+
     def divergence(u, v, half):
         uvp = _x2d(jnp.stack([u, v]), 1)
         l, r, b, t = _neighbors_2d(uvp)
@@ -343,6 +350,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
     ns.vorticity_confinement_gpu = vorticity_confinement_gpu
     ns.diffuse = diffuse
     ns.diffuse_multi = diffuse_multi
+    ns.diffuse_multi_splat = diffuse_multi_splat
     ns.divergence = divergence
     ns.pressure_solve = pressure_solve
     ns.pressure_solve_mg = pressure_solve_mg

@@ -221,6 +221,15 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             return _pallas_jacobi_bursts(fields, burst, iters, pallas_burst)
         return _jacobi(fields, (coeffs * coeffs / dt)[:, None, None], iters)
 
+    def diffuse_multi_splat(fields, dt, coeffs, iters, amps, last, radius):
+        # shard-local composition: local diffusion, then the splat tail with
+        # GLOBAL row coordinates (the single-chip fused kernel's tail is
+        # pointwise, so composition is exact)
+        f = diffuse_multi(fields, dt, coeffs, iters)
+        ys_f, _ = _global_rows(fields.shape[-2:], axis_name)
+        xs_f = jax.lax.broadcasted_iota(jnp.float32, fields.shape[-2:], 1)
+        return ref.splat_tail(f, amps, last, radius, xs_f, ys_f)
+
     def divergence(u, v, half):
         # one stacked exchange for both components (half the ppermute pairs)
         uvp = exchange_rows(jnp.stack([u, v]), 1, axis_name)
@@ -289,6 +298,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     ns.vorticity_confinement_gpu = vorticity_confinement_gpu
     ns.diffuse = diffuse
     ns.diffuse_multi = diffuse_multi
+    ns.diffuse_multi_splat = diffuse_multi_splat
     ns.divergence = divergence
     def _mg_neighbors(p):
         return neighbors_padded(exchange_rows(p, 1, axis_name))

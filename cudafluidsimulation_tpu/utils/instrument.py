@@ -65,16 +65,28 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
 
         setattr(ns, name, wrapped)
 
-    # The production pipeline runs the fused pressure_project op; for stage
-    # ATTRIBUTION decompose it through the wrapped sub-ops so the Pressure /
-    # Project buckets match the reference's timers (GPUFluidSim.cu:676-688).
+    # The production pipeline runs fused ops; for stage ATTRIBUTION
+    # decompose them through the wrapped sub-ops so the reference's stage
+    # buckets (GPUFluidSim.cu:609-712) stay meaningful.
     def pressure_project(u, v, iters, half):
         d = ns.divergence(u, v, half)
         p = ns.pressure_solve(d, iters)
         u2, v2 = ns.project(u, v, p)
         return u2, v2, p
 
+    def diffuse_multi_splat(fields, dt, coeffs, iters, amps, last, radius):
+        from cudafluidsimulation_tpu.ops import ref as _ref
+
+        f = ns.diffuse_multi(fields, dt, coeffs, iters)  # bills Diffuse
+        t0 = time.perf_counter()
+        xs, ys = _ref.coord_grids(fields.shape[-2], fields.shape[-1])
+        out = _ref.splat_tail(f, amps, last, radius, xs, ys)
+        jax.block_until_ready(out)
+        totals["Force"] = totals.get("Force", 0.0) + time.perf_counter() - t0
+        return out
+
     ns.pressure_project = pressure_project
+    ns.diffuse_multi_splat = diffuse_multi_splat
     return ns
 
 

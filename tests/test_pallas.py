@@ -191,3 +191,18 @@ def test_fusable_rejects_unviable_last_burst():
             out = jacobi_pallas.pressure_project(u, u, iters, True,
                                                  block_rows=256, burst=burst)
             assert np.isfinite(np.asarray(out[2])).all()
+
+
+@pytest.mark.parametrize("iters", [0, 5, 20])
+def test_diffuse_multi_splat_matches_ref(rng, iters):
+    """Fused diffusion+splat == the ref composition (incl. iters=0)."""
+    f = rng.standard_normal((5, 64, 128)).astype(np.float32)
+    coeffs = jnp.asarray([0.8, 0.8, 0.8, 0.8, 0.8], jnp.float32)
+    amps = jnp.asarray([3.0, -2.0, 0.5, 0.25, 0.75], jnp.float32)
+    last = jnp.asarray([40.0, 20.0], jnp.float32)
+    exp = ref.diffuse_multi_splat(jnp.asarray(f), 1 / 60, coeffs, iters,
+                                  amps, last, 400.0)
+    got = jacobi_pallas.diffuse_multi_splat(jnp.asarray(f), 1 / 60, coeffs,
+                                            iters, amps, last, 400.0,
+                                            block_rows=64, burst=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
