@@ -172,7 +172,8 @@ def main(argv=None) -> int:
             from cudafluidsimulation_tpu.utils.http_view import HttpViewer
 
             viewer = HttpViewer(port=args.http_port, width=nx, height=ny)
-            print(f"live view: {viewer.url}  (Ctrl-C to stop)")
+            print(f"live view: {'  '.join(viewer.urls)}  "
+                  "(bound on 0.0.0.0; Ctrl-C to stop)")
         else:
             from cudafluidsimulation_tpu.utils.term_view import TermViewer
 

@@ -90,11 +90,26 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
             u, v, dye = all5[0], all5[1], all5[2:]
         else:
             if config.diffusion_iters > 0:
-                uv = ops.diffuse(
-                    jnp.stack([u, v]), dt, config.velocity_diffusion,
-                    config.diffusion_iters,
-                )
-                u, v = uv[0], uv[1]
+                if config.color_diffusion_enabled:
+                    # cpu variant with dye diffusion explicitly enabled:
+                    # dye still diffuses (splat_cpu's two-Gaussian geometry
+                    # just cannot fuse into the burst)
+                    coeffs = jnp.asarray(
+                        [config.velocity_diffusion] * 2
+                        + [config.color_diffusion] * 3,
+                        jnp.float32,
+                    )
+                    all5 = ops.diffuse_multi(
+                        jnp.concatenate([jnp.stack([u, v]), dye]), dt,
+                        coeffs, config.diffusion_iters,
+                    )
+                    u, v, dye = all5[0], all5[1], all5[2:]
+                else:
+                    uv = ops.diffuse(
+                        jnp.stack([u, v]), dt, config.velocity_diffusion,
+                        config.diffusion_iters,
+                    )
+                    u, v = uv[0], uv[1]
             splat = ops.splat_cpu if cpu_variant else ops.splat_gpu
             u, v, dye = splat(
                 u, v, dye, cur, last, dt, force_eff,

@@ -36,6 +36,17 @@ def _prolong(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
 
 
+def local_levels(n: int) -> int:
+    """How many V-cycle levels an extent of ``n`` cells supports before it
+    stops halving cleanly (1 + the 2-adic valuation, clamped at n >= 2) —
+    the shard-local coarsening cap used by the sharded solvers."""
+    c = 1
+    while n % 2 == 0 and n >= 2:
+        n //= 2
+        c += 1
+    return c
+
+
 def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
     n = 0
     while (

@@ -287,15 +287,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
 
         hl, wl = div.shape
         level = mg._levels(h_global, w_global)
-
-        def cap_of(n):
-            c = 1
-            while n % 2 == 0 and n >= 2:
-                n //= 2
-                c += 1
-            return c
-
-        local_cap = min(cap_of(hl), cap_of(wl))
+        local_cap = min(mg.local_levels(hl), mg.local_levels(wl))
         bottom = None
         if level > local_cap:
             from cudafluidsimulation_tpu.ops.stencil import neighbors as _loc_nb

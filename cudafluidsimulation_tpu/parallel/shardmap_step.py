@@ -342,11 +342,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
 
         hl, w = div.shape
         level = mg._levels(h_global, w)
-        local_cap = 1
-        hh = hl
-        while hh % 2 == 0 and hh >= 2:
-            hh //= 2
-            local_cap += 1
+        local_cap = mg.local_levels(hl)
 
         bottom = None
         if level > local_cap:

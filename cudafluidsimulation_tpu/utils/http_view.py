@@ -3,10 +3,12 @@
 The reference displays the fluid in an OpenGL window (Main.cpp:166-180);
 headless TPU hosts have no display, so this serves the live view to ANY
 browser on the network as a ``multipart/x-mixed-replace`` PNG stream (the
-MJPEG idiom).  The native backend (native/httpview.cpp, auto-built like the
-frame sink) encodes and fans out frames off the simulation thread; a pure
-Python ``http.server`` fallback keeps the feature available without a
-toolchain.
+MJPEG idiom).  Push is a frame copy; PNG encoding happens lazily in the
+viewer's connection thread (cached per frame), so the simulation thread
+never pays for encoding — with no viewer attached a push costs one memcpy.
+The native backend is native/httpview.cpp (auto-built like the frame sink);
+a pure Python ``http.server`` fallback keeps the feature available without
+a toolchain.
 
 Usage: CLI ``--view http [--http-port N]``, or::
 
@@ -63,7 +65,10 @@ def native_available() -> bool:
 
 
 class _PyHttpView:
-    """http.server fallback with the same routes as the native server."""
+    """http.server fallback with the same routes and semantics as the
+    native server: push is a copy, PNG encoding happens lazily in the
+    client's handler thread (cached per frame), stream handlers observe a
+    closing flag so close() leaks no threads."""
 
     def __init__(self, port: int, width: int, height: int):
         import http.server
@@ -72,18 +77,35 @@ class _PyHttpView:
         from cudafluidsimulation_tpu.utils.png import png_bytes
 
         view = self
-        view._latest = b""
+        view._raw = None
         view._seq = 0
+        view._png = b""
+        view._png_seq = 0
+        view._closing = False
         view._cond = threading.Condition()
         view._png_bytes = png_bytes
-        view.clients = 0
-        view.frames = 0
+        view._clients = 0
+        view._frames = 0
 
         page = (b"<!doctype html><html><head><title>tpu-stable-fluids"
                 b"</title></head><body style='background:#111;color:#ddd;"
                 b"text-align:center;font-family:monospace'>"
                 b"<div>tpu-stable-fluids &mdash; live</div>"
                 b"<img src='/stream' alt='live stream'></body></html>")
+
+        def latest_png():
+            """Encode-on-demand with a per-seq cache (see native server)."""
+            with view._cond:
+                if view._raw is None:
+                    return b"", 0
+                if view._png_seq == view._seq:
+                    return view._png, view._png_seq
+                raw, s = view._raw, view._seq
+            data = view._png_bytes(raw)
+            with view._cond:
+                if s >= view._png_seq:
+                    view._png, view._png_seq = data, s
+            return data, s
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -97,8 +119,7 @@ class _PyHttpView:
                     self.end_headers()
                     self.wfile.write(page)
                 elif self.path == "/frame":
-                    with view._cond:
-                        data = view._latest
+                    data, _ = latest_png()
                     self.send_response(200 if data else 503)
                     self.send_header("Content-Type", "image/png")
                     self.send_header("Content-Length", str(len(data)))
@@ -110,16 +131,22 @@ class _PyHttpView:
                         "Content-Type",
                         "multipart/x-mixed-replace; boundary=frame")
                     self.end_headers()
-                    view.clients += 1
+                    with view._cond:
+                        view._clients += 1
                     last = 0
                     try:
                         while True:
                             with view._cond:
                                 view._cond.wait_for(
-                                    lambda: view._seq > last, timeout=0.25)
+                                    lambda: view._closing or view._seq > last,
+                                    timeout=0.25)
+                                if view._closing:
+                                    break
                                 if view._seq == last:
                                     continue
-                                data, last = view._latest, view._seq
+                            data, last = latest_png()
+                            if not data:
+                                continue
                             self.wfile.write(
                                 b"--frame\r\nContent-Type: image/png\r\n"
                                 + f"Content-Length: {len(data)}\r\n\r\n".encode()
@@ -127,7 +154,8 @@ class _PyHttpView:
                     except (BrokenPipeError, ConnectionResetError):
                         pass
                     finally:
-                        view.clients -= 1
+                        with view._cond:
+                            view._clients -= 1
                 else:
                     self.send_error(404)
 
@@ -140,15 +168,28 @@ class _PyHttpView:
                                         daemon=True)
         self._thread.start()
 
-    def push(self, frame: np.ndarray) -> None:
-        data = self._png_bytes(frame)
+    @property
+    def clients(self) -> int:
         with self._cond:
-            self._latest = data
+            return self._clients
+
+    @property
+    def frames(self) -> int:
+        with self._cond:
+            return self._frames
+
+    def push(self, frame: np.ndarray) -> None:
+        raw = np.ascontiguousarray(frame, dtype=np.uint8).copy()
+        with self._cond:
+            self._raw = raw
             self._seq += 1
+            self._frames += 1
             self._cond.notify_all()
-        self.frames += 1
 
     def close(self) -> None:
+        with self._cond:
+            self._closing = True
+            self._cond.notify_all()
         self._srv.shutdown()
         self._srv.server_close()
 
@@ -187,7 +228,21 @@ class HttpViewer:
 
     @property
     def url(self) -> str:
+        """Local URL; both backends bind 0.0.0.0, so remote browsers reach
+        the same port via this host's address (see ``urls``)."""
         return f"http://localhost:{self.port}/"
+
+    @property
+    def urls(self) -> list:
+        """All likely-reachable URLs (localhost + this host's addresses)."""
+        import socket
+
+        hosts = ["localhost"]
+        try:
+            hosts.append(socket.gethostbyname(socket.gethostname()))
+        except OSError:
+            pass
+        return [f"http://{h}:{self.port}/" for h in dict.fromkeys(hosts)]
 
     @property
     def clients(self) -> int:

@@ -4,11 +4,13 @@
 // this is the headless TPU rebuild's live display: a tiny dependency-free
 // HTTP server that streams the latest frame to any browser as a
 // multipart/x-mixed-replace PNG stream (the MJPEG-stream idiom, with the
-// repo's own PNG encoder instead of JPEG).  The simulation thread pushes
-// RGBA frames; encoding happens on the pushing thread's call (cheap at view
-// sizes) and clients are fanned out from per-connection threads, so a slow
-// or stalled viewer can never stall the simulation — it just skips frames
-// (latest-wins, like a real display).
+// repo's own PNG encoder instead of JPEG).
+//
+// Push is a memcpy: the simulation thread stores the raw RGBA frame and
+// PNG encoding happens lazily in the CLIENT's connection thread (cached per
+// frame seq), so with no viewer attached a push costs nothing but the copy,
+// and a slow viewer pays for its own encoding — the simulation never stalls
+// and always publishes the latest frame (viewers skip intermediate ones).
 //
 // Routes:
 //   GET /        tiny HTML page embedding the stream
@@ -18,7 +20,7 @@
 // C ABI (used from Python via ctypes):
 //   hv_open(port, w, h) -> handle   (port 0 = ephemeral; see hv_port)
 //   hv_port(handle)                 actual bound port, 0 on bind failure
-//   hv_push(handle, rgba_ptr)       publish a frame (encodes, notifies)
+//   hv_push(handle, rgba_ptr)       publish a frame (copy + notify)
 //   hv_clients(handle)              currently connected stream clients
 //   hv_frames(handle)               frames published
 //   hv_close(handle)                stop accepting, drop clients, join, free
@@ -31,6 +33,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -76,17 +79,23 @@ struct HttpView {
 
   std::mutex mu;
   std::condition_variable cv;
-  std::vector<uint8_t> latest;  // encoded PNG
-  uint64_t seq = 0;
+  std::vector<uint8_t> raw;      // latest RGBA frame (push = memcpy)
+  uint64_t seq = 0;              // bumps per push
+  std::vector<uint8_t> png;      // lazily encoded cache of frame png_seq
+  uint64_t png_seq = 0;
   bool closing = false;
 
   std::atomic<int> clients{0};
   std::atomic<uint64_t> frames{0};
 
   std::thread acceptor;
-  std::vector<std::thread> conns;
+  // OPEN connection fds only (pruned when a handler finishes) + a count of
+  // live handler threads; handlers are detached and close() waits for the
+  // count to reach zero after shutting their sockets down.
   std::mutex conns_mu;
+  std::condition_variable conns_cv;
   std::vector<int> conn_fds;
+  int active = 0;
 
   bool bind_listen(int want_port) {
     listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
@@ -109,21 +118,51 @@ struct HttpView {
     return true;
   }
 
+  // Latest frame as PNG, encoded on the calling (client) thread and cached
+  // per frame seq.  Empty when nothing was pushed yet or we're closing.
+  std::vector<uint8_t> latest_png(uint64_t* out_seq) {
+    std::vector<uint8_t> raw_copy;
+    uint64_t s;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      if (raw.empty()) {
+        *out_seq = 0;
+        return {};
+      }
+      if (png_seq == seq) {
+        *out_seq = seq;
+        return png;  // cache hit
+      }
+      raw_copy = raw;  // copy out, encode without holding the lock
+      s = seq;
+    }
+    std::vector<uint8_t> encoded = pngenc::encode_png(raw_copy.data(), w, h);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (s >= png_seq) {  // cache if still the newest encoding
+        png = encoded;
+        png_seq = s;
+      }
+    }
+    *out_seq = s;
+    return encoded;
+  }
+
   void serve_client(int fd) {
-    // read the request line (we only need the path)
     char buf[2048];
     ssize_t n = ::recv(fd, buf, sizeof(buf) - 1, 0);
-    if (n <= 0) {
-      ::close(fd);
-      return;
-    }
-    buf[n] = 0;
-    std::string req(buf);
     std::string path = "/";
-    size_t sp1 = req.find(' ');
-    if (sp1 != std::string::npos) {
-      size_t sp2 = req.find(' ', sp1 + 1);
-      if (sp2 != std::string::npos) path = req.substr(sp1 + 1, sp2 - sp1 - 1);
+    if (n > 0) {
+      buf[n] = 0;
+      std::string req(buf);
+      size_t sp1 = req.find(' ');
+      if (sp1 != std::string::npos) {
+        size_t sp2 = req.find(' ', sp1 + 1);
+        if (sp2 != std::string::npos)
+          path = req.substr(sp1 + 1, sp2 - sp1 - 1);
+      }
+    } else {
+      path = "";  // dead connection: fall through to cleanup
     }
 
     if (path == "/") {
@@ -134,17 +173,10 @@ struct HttpView {
                strlen(kPage));
       send_str(fd, head);
       send_str(fd, kPage);
-      ::close(fd);
-      return;
-    }
-
-    if (path == "/frame") {
-      std::vector<uint8_t> png;
-      {
-        std::lock_guard<std::mutex> lk(mu);
-        png = latest;
-      }
-      if (png.empty()) {
+    } else if (path == "/frame") {
+      uint64_t s;
+      std::vector<uint8_t> data = latest_png(&s);
+      if (data.empty()) {
         send_str(fd, "HTTP/1.1 503 Service Unavailable\r\n"
                      "Content-Length: 0\r\nConnection: close\r\n\r\n");
       } else {
@@ -152,56 +184,57 @@ struct HttpView {
         snprintf(head, sizeof(head),
                  "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
                  "Content-Length: %zu\r\nConnection: close\r\n\r\n",
-                 png.size());
+                 data.size());
         send_str(fd, head);
-        send_all(fd, png.data(), png.size());
+        send_all(fd, data.data(), data.size());
       }
-      ::close(fd);
-      return;
-    }
-
-    if (path == "/stream") {
-      if (!send_str(fd,
-                    "HTTP/1.1 200 OK\r\n"
-                    "Content-Type: multipart/x-mixed-replace; "
-                    "boundary=frame\r\nCache-Control: no-cache\r\n"
-                    "Connection: close\r\n\r\n")) {
-        ::close(fd);
-        return;
-      }
-      clients++;
-      uint64_t last_sent = 0;
-      for (;;) {
-        std::vector<uint8_t> png;
-        {
-          std::unique_lock<std::mutex> lk(mu);
-          // timed wait so the thread notices `closing` even if no frames
-          // arrive; latest-wins (a slow client skips intermediate frames)
-          cv.wait_for(lk, std::chrono::milliseconds(250), [&] {
-            return closing || seq > last_sent;
-          });
-          if (closing) break;
-          if (seq == last_sent) continue;
-          png = latest;
-          last_sent = seq;
+    } else if (path == "/stream") {
+      if (send_str(fd,
+                   "HTTP/1.1 200 OK\r\n"
+                   "Content-Type: multipart/x-mixed-replace; "
+                   "boundary=frame\r\nCache-Control: no-cache\r\n"
+                   "Connection: close\r\n\r\n")) {
+        clients++;
+        uint64_t last_sent = 0;
+        for (;;) {
+          {
+            std::unique_lock<std::mutex> lk(mu);
+            // timed wait so the thread notices `closing` even if no frames
+            // arrive; latest-wins (a slow client skips intermediate frames)
+            cv.wait_for(lk, std::chrono::milliseconds(250), [&] {
+              return closing || seq > last_sent;
+            });
+            if (closing) break;
+            if (seq == last_sent) continue;
+          }
+          uint64_t s;
+          std::vector<uint8_t> data = latest_png(&s);
+          if (data.empty()) continue;
+          last_sent = s;
+          char part[160];
+          snprintf(part, sizeof(part),
+                   "--frame\r\nContent-Type: image/png\r\n"
+                   "Content-Length: %zu\r\n\r\n",
+                   data.size());
+          if (!send_str(fd, part) || !send_all(fd, data.data(), data.size()) ||
+              !send_str(fd, "\r\n"))
+            break;  // viewer went away
         }
-        char part[160];
-        snprintf(part, sizeof(part),
-                 "--frame\r\nContent-Type: image/png\r\n"
-                 "Content-Length: %zu\r\n\r\n",
-                 png.size());
-        if (!send_str(fd, part) || !send_all(fd, png.data(), png.size()) ||
-            !send_str(fd, "\r\n"))
-          break;  // viewer went away
+        clients--;
       }
-      clients--;
-      ::close(fd);
-      return;
+    } else if (!path.empty()) {
+      send_str(fd, "HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n"
+                   "Connection: close\r\n\r\n");
     }
 
-    send_str(fd, "HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n"
-                 "Connection: close\r\n\r\n");
     ::close(fd);
+    {
+      std::lock_guard<std::mutex> lk(conns_mu);
+      conn_fds.erase(std::remove(conn_fds.begin(), conn_fds.end(), fd),
+                     conn_fds.end());
+      active--;
+    }
+    conns_cv.notify_all();
   }
 
   void accept_loop() {
@@ -220,8 +253,9 @@ struct HttpView {
       {
         std::lock_guard<std::mutex> lk(conns_mu);
         conn_fds.push_back(fd);
-        conns.emplace_back([this, fd] { serve_client(fd); });
+        active++;
       }
+      std::thread([this, fd] { serve_client(fd); }).detach();
     }
   }
 };
@@ -248,10 +282,10 @@ int hv_port(void* handle) {
 
 void hv_push(void* handle, const uint8_t* rgba) {
   auto* s = static_cast<HttpView*>(handle);
-  std::vector<uint8_t> png = pngenc::encode_png(rgba, s->w, s->h);
+  size_t n = size_t(s->w) * s->h * 4;
   {
     std::lock_guard<std::mutex> lk(s->mu);
-    s->latest = std::move(png);
+    s->raw.assign(rgba, rgba + n);
     s->seq++;
   }
   s->frames++;
@@ -279,12 +313,19 @@ void hv_close(void* handle) {
   }
   if (s->acceptor.joinable()) s->acceptor.join();
   {
-    // unblock clients stuck in send() to dead peers
+    // unblock handlers stuck in send() to dead peers; conn_fds holds OPEN
+    // fds only, so this can never touch a recycled descriptor
     std::lock_guard<std::mutex> lk(s->conns_mu);
     for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
   }
-  for (auto& t : s->conns)
-    if (t.joinable()) t.join();
+  {
+    // every handler path is bounded once closing is set and its fd is shut
+    // down (cv waits poll closing at 4 Hz, sends/recvs fail fast), so this
+    // terminates; an untimed wait is what makes the delete below safe
+    // against the detached threads
+    std::unique_lock<std::mutex> lk(s->conns_mu);
+    s->conns_cv.wait(lk, [&] { return s->active == 0; });
+  }
   delete s;
 }
 

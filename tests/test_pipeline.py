@@ -199,3 +199,27 @@ def test_gpu_variant_has_no_boundary_strip():
     imp = constant_impulse(10, cfg.dt, pos=(32.0, 5.0), last_pos=(30.0, 3.0))
     s = sim.run(sim.init(), imp)
     assert float(np.abs(np.asarray(s.dye)[:, :11]).max()) > 0
+
+
+def test_cpu_variant_with_color_diffusion_enabled_diffuses_dye(rng):
+    """Regression: a cpu-variant config that explicitly ENABLES dye
+    diffusion must actually diffuse the dye (a round-2 refactor silently
+    dropped it into the velocity-only branch)."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu import FluidConfig, Simulation
+    from cudafluidsimulation_tpu.utils.impulse import constant_impulse
+
+    kw = dict(nx=64, ny=64, backend="ref", diffusion_iters=5,
+              boundary_rows=0)
+    sim_on = Simulation(FluidConfig.cpu_reference(
+        color_diffusion_enabled=True, color_diffusion=2.0, **kw))
+    sim_off = Simulation(FluidConfig.cpu_reference(
+        color_diffusion_enabled=False, **kw))
+    imp = constant_impulse(6, 1 / 60, pos=(32.0, 32.0), last_pos=(30.0, 31.0))
+    dye_on = np.asarray(sim_on.run(sim_on.init(), imp).dye)
+    dye_off = np.asarray(sim_off.run(sim_off.init(), imp).dye)
+    assert np.abs(dye_on - dye_off).max() > 1e-4, \
+        "enabled dye diffusion must change the dye field"
+    # diffusion spreads dye outward: more cells carry dye when enabled
+    assert (dye_on > 1e-4).sum() > (dye_off > 1e-4).sum()

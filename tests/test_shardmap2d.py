@@ -115,15 +115,7 @@ def test_2d_multigrid_below_shard_cap_solver_level():
     ny, nx = 1088, 1088  # 2^6 * 17: v2 small relative to the level count
     mesh = make_mesh2d(4, 2)
     hl, wl = ny // 4, nx // 2
-
-    def cap_of(n):
-        c = 1
-        while n % 2 == 0 and n >= 2:
-            n //= 2
-            c += 1
-        return c
-
-    assert min(cap_of(hl), cap_of(wl)) < mg._levels(ny, nx), \
+    assert min(mg.local_levels(hl), mg.local_levels(wl)) < mg._levels(ny, nx), \
         "fixture must exercise the gathered bottom"
 
     rng = np.random.default_rng(0)
