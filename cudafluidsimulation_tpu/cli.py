@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video-fps", type=float, default=30.0)
     p.add_argument("--save-fields", default="", help="npz path for final fields")
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also save the state to --checkpoint every N steps "
+                   "(long-run resilience; 0 = only at the end)")
     p.add_argument("--resume", default="", help="resume from a state checkpoint")
     p.add_argument("--report", action="store_true", help="per-stage timing report")
     p.add_argument("--health", nargs="?", const=0.0, type=float, default=None,
@@ -249,10 +252,17 @@ def main(argv=None) -> int:
     if collect and n_total == 0:
         raise SystemExit("nothing to run: --steps 0 (or an empty impulse "
                          "script) collects no frames")
+    ckpt_every = args.checkpoint_every if args.checkpoint else 0
+    if ckpt_every < 0:
+        raise SystemExit("--checkpoint-every must be >= 0")
+    if args.checkpoint_every and not args.checkpoint:
+        print("note: --checkpoint-every needs --checkpoint; ignored")
     if collect:
         seg = max(1, args.frame_every)
     elif health_on:
         seg = max(1, args.health_every)
+    elif ckpt_every:
+        seg = max(1, ckpt_every)
     elif args.report:
         seg = max(1, -(-n_total // 10))
     else:
@@ -277,6 +287,8 @@ def main(argv=None) -> int:
     with profile_ctx:
         t0 = time.perf_counter()
         start = 0
+        last_good = state
+        steps_since_ckpt = 0
         while start < n_total:
             end = min(start + seg, n_total)
             part = Impulse(*(f[start:end] for f in imp))
@@ -290,7 +302,19 @@ def main(argv=None) -> int:
                 try:
                     check_health(state, max_speed=max_speed)
                 except HealthError as e:
+                    # salvage the last healthy state so a long run is not a
+                    # total loss (the recovery layer the reference lacks)
+                    if args.checkpoint:
+                        save_state(args.checkpoint, last_good)
+                        print(f"saved last healthy state (step "
+                              f"{int(last_good.step)}) to {args.checkpoint}")
                     raise SystemExit(f"health check failed: {e}")
+                last_good = state
+            if ckpt_every:
+                steps_since_ckpt += end - start
+                if steps_since_ckpt >= ckpt_every:
+                    save_state(args.checkpoint, state)
+                    steps_since_ckpt = 0
             start = end
         wall = time.perf_counter() - t0
     frames = np.stack(frames) if frames else frames

@@ -291,3 +291,37 @@ def test_cli_video(tmp_path):
     assert rc == 0
     data = out.read_bytes()
     assert data[:4] == b"RIFF" and data.count(b"00db") >= 3 + 1  # chunks+idx1
+
+
+def test_cli_checkpoint_every(tmp_path):
+    """Periodic checkpointing: the file exists and is resumable mid-run."""
+    from cudafluidsimulation_tpu.cli import main
+    from cudafluidsimulation_tpu.utils.checkpoint import load_state
+
+    ck = tmp_path / "c.npz"
+    rc = main(["--grid", "64", "--steps", "12", "--backend", "ref",
+               "--impulse", "center", "--checkpoint", str(ck),
+               "--checkpoint-every", "4",
+               "--diffusion-iters", "2", "--pressure-iters", "2"])
+    assert rc == 0
+    st = load_state(str(ck))
+    assert int(st.step) == 12  # final save overwrote the periodic ones
+
+
+def test_cli_health_failure_saves_last_good(tmp_path):
+    """On a blow-up the last HEALTHY segment state is checkpointed."""
+    import pytest
+
+    from cudafluidsimulation_tpu.cli import main
+    from cudafluidsimulation_tpu.utils.checkpoint import load_state
+
+    ck = tmp_path / "salvage.npz"
+    with pytest.raises(SystemExit, match="health check failed"):
+        main(["--grid", "64", "--steps", "12", "--backend", "ref",
+              "--impulse", "center", "--health", "1e-6", "--health-every", "4",
+              "--checkpoint", str(ck),
+              "--diffusion-iters", "2", "--pressure-iters", "2"])
+    # the fixture fails at the FIRST health check, so the salvage is the
+    # (healthy) initial state
+    st = load_state(str(ck))
+    assert int(st.step) == 0
