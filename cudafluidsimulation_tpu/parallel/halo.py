@@ -135,24 +135,29 @@ def measure_halo_traffic(config, mesh, axis_name: str = "x",
 
     counts = {"ppermute": 0, "all_gather": 0, "bytes": 0}
 
-    def visit(jx):
+    def visit(jx, mult):
         for eqn in jx.eqns:
             name = eqn.primitive.name
             if name in ("ppermute", "all_gather"):
-                counts[name] += 1
+                counts[name] += mult
                 for v in eqn.invars:
                     aval = getattr(v, "aval", None)
                     if aval is not None and aval.shape:
-                        counts["bytes"] += int(
+                        counts["bytes"] += mult * int(
                             np.prod(aval.shape)) * aval.dtype.itemsize
+            # a collective inside a scan body executes once per trip: carry
+            # the trip count down (the ref backend's sweep-per-exchange
+            # Jacobi hides its 1-deep exchange inside a lax.scan of length
+            # ``iters`` — counting it once undercounts the schedule iters-x)
+            m = mult * eqn.params.get("length", 1) if name == "scan" else mult
             for p in eqn.params.values():
                 for sub in (p if isinstance(p, (list, tuple)) else [p]):
                     if hasattr(sub, "eqns"):  # raw Jaxpr (e.g. shard_map)
-                        visit(sub)
+                        visit(sub, m)
                     elif hasattr(sub, "jaxpr"):  # ClosedJaxpr (jit/scan)
-                        visit(sub.jaxpr)
+                        visit(sub.jaxpr, m)
 
-    visit(jaxpr.jaxpr)
+    visit(jaxpr.jaxpr, 1)
 
     jacobi_sweeps = (config.diffusion_iters
                      * (5 if config.color_diffusion_enabled else 2)

@@ -252,11 +252,76 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         l, r, b, t = _neighbors_2d(_x2d(p, 1))
         return u - 0.5 * (r - l), v - 0.5 * (t - b)
 
-    def pressure_project(u, v, iters, half):
+    def _composed_pressure_project(u, v, iters, half):
         dd = divergence(u, v, half)
         p = pressure_solve(dd, iters)
         u2, v2 = project(u, v, p)
         return u2, v2, p
+
+    def _fused_pressure_project(u, v, iters, half):
+        """2-D analog of the rows-only fused projection (see
+        parallel.shardmap_step._fused_pressure_project): one mirror
+        exchange_2d of the velocity stack at depth k+2 yields a local
+        divergence valid to depth k+1 in BOTH axes, burst 1 runs from p=0
+        with no pressure exchange, and the final burst keeps a 1-deep valid
+        halo so the gradient subtraction is local.  Physical-edge halos of
+        the computed divergence are replaced by the even reflection of the
+        core, rows first then columns of the row-fixed array — the same
+        corner-carrying order as exchange_2d, so the result is exactly what
+        exchange_2d(div, k+1, mirror) would have produced."""
+        from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+        if iters == 0:
+            return u, v, jnp.zeros_like(u)
+        k = min(pallas_burst, iters)
+        hd = k + 1
+        nr, nc = lax.axis_size(row_axis), lax.axis_size(col_axis)
+        ri, ci = lax.axis_index(row_axis), lax.axis_index(col_axis)
+
+        uvp = _x2d(jnp.stack([u, v]), hd + 1, edge="mirror")
+        dd = ((uvp[0][1:-1, 2:] - uvp[0][1:-1, :-2])
+              + (uvp[1][2:, 1:-1] - uvp[1][:-2, 1:-1]))
+        if half:
+            dd = 0.5 * dd
+        rows = dd[hd:-hd, :]
+        low = jnp.where(ri == 0, jnp.flip(rows[:hd], axis=0), dd[:hd])
+        high = jnp.where(ri == nr - 1, jnp.flip(rows[-hd:], axis=0),
+                         dd[-hd:])
+        d2 = jnp.concatenate([low, rows, high], axis=0)
+        cols = d2[:, hd:-hd]
+        lft = jnp.where(ci == 0, jnp.flip(cols[:, :hd], axis=1), d2[:, :hd])
+        rgt = jnp.where(ci == nc - 1, jnp.flip(cols[:, -hd:], axis=1),
+                        d2[:, -hd:])
+        rp = jnp.concatenate([lft, cols, rgt], axis=1)  # depth hd, both axes
+
+        p = None
+        left = iters
+        while left > 0:
+            kk = min(k, left)
+            keep = 1 if left == kk else 0
+            if p is None:
+                pp = jacobi_pallas.pressure_solve(rp, kk, burst=kk)
+                cut = hd - keep
+            else:
+                dep = kk + keep
+                rr = (rp if dep == hd
+                      else rp[hd - dep : dep - hd, hd - dep : dep - hd])
+                xp = _x2d(p, dep, edge="mirror")
+                pp = jacobi_pallas.pressure_solve(rr, kk, burst=kk, init=xp)
+                cut = kk
+            p = pp[cut:-cut, cut:-cut] if cut else pp
+            left -= kk
+
+        ps = p[1:-1, 1:-1]
+        u2 = u - 0.5 * (p[1:-1, 2:] - p[1:-1, :-2])
+        v2 = v - 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
+        return u2, v2, ps
+
+    def pressure_project(u, v, iters, half):
+        kf = min(pallas_burst, max(iters, 1)) + 2
+        if use_pallas and min(u.shape[-2], u.shape[-1]) >= kf:
+            return _fused_pressure_project(u, v, iters, half)
+        return _composed_pressure_project(u, v, iters, half)
 
     # -- multigrid ---------------------------------------------------------------
 

@@ -263,13 +263,89 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         pl, pr, pb, pt = neighbors_padded(pp)
         return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
 
-    def pressure_project(u, v, iters, half):
-        # shard-local composition (the single-chip fused kernels need
-        # velocity halos the exchange path provides per-op anyway)
+    def _composed_pressure_project(u, v, iters, half):
         dd = divergence(u, v, half)
         p = pressure_solve(dd, iters)
         u2, v2 = project(u, v, p)
         return u2, v2, p
+
+    def _fused_pressure_project(u, v, iters, half):
+        """Divergence -> burst Jacobi -> project with the per-op halo
+        exchanges folded into the burst exchanges (the sharded analog of
+        ops.jacobi_pallas.pressure_project; the reference launches all
+        three separately, GPUFluidSim.cu:676-685).
+
+        One mirror exchange of the velocity stack at depth k+2 makes the
+        locally-computed divergence valid to depth k+1 (one derivative eats
+        one row), so burst 1 runs from p=0 with NO pressure exchange (sweep 1
+        of Jacobi from zero is -div/4 independent of boundary data, so the
+        padded-edge corruption only reaches kk-1 rows after kk sweeps), and
+        the FINAL burst exchanges one extra row (kk+1) so its retained
+        pressure keeps a valid 1-row halo for a local gradient subtraction.
+        Exchange pairs per projection drop from 3 + ceil(iters/k) to
+        1 + (ceil(iters/k) - 1): 4 -> 1 for the cpu-parity 5 iters,
+        7 -> 4 for the gpu-parity 30.
+
+        Physical-edge halos of the computed divergence are overwritten with
+        the even reflection of the core (the Neumann ghost needs
+        d(-1-j) = d(j), not the divergence of mirrored velocity — same fix
+        as the single-chip _first_pressure_kernel)."""
+        from cudafluidsimulation_tpu.ops import jacobi_pallas
+        from cudafluidsimulation_tpu.ops.stencil import shift_x
+
+        if iters == 0:
+            return u, v, jnp.zeros_like(u)
+        k = min(pallas_burst, iters)
+        hd = k + 1
+        n = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+
+        uvp = exchange_rows(jnp.stack([u, v]), hd + 1, axis_name,
+                            edge="mirror")
+        ul, ur = shift_x(uvp[0], -1), shift_x(uvp[0], 1)
+        dd = (ur[1:-1] - ul[1:-1]) + (uvp[1][2:] - uvp[1][:-2])
+        if half:
+            dd = 0.5 * dd
+        core = dd[hd:-hd]
+        low = jnp.where(idx == 0, jnp.flip(core[:hd], axis=0), dd[:hd])
+        high = jnp.where(idx == n - 1, jnp.flip(core[-hd:], axis=0),
+                         dd[-hd:])
+        rp = jnp.concatenate([low, core, high], axis=0)  # depth hd
+
+        p = None
+        left = iters
+        while left > 0:
+            kk = min(k, left)
+            # depth to RETAIN after this burst: 1 valid halo row on the last
+            # burst (for the local project), 0 otherwise.  Corruption from
+            # the padded edge reaches depth kk-1 after kk sweeps (sweep 1 is
+            # -div/4 from a true-data/ghost halo, independent of p boundary
+            # data), so retained rows at distance >= kk are exact.
+            keep = 1 if left == kk else 0
+            if p is None:  # burst 1: p=0, no pressure exchange needed
+                pp = jacobi_pallas.pressure_solve(rp, kk, burst=kk)
+                cut = hd - keep
+            else:
+                dep = kk + keep
+                rr = rp if dep == hd else rp[hd - dep : dep - hd]
+                xp = exchange_rows(p, dep, axis_name, edge="mirror")
+                pp = jacobi_pallas.pressure_solve(rr, kk, burst=kk, init=xp)
+                cut = kk
+            p = pp[cut:-cut] if cut else pp
+            left -= kk
+
+        ps = p[1:-1]
+        pl_, pr_ = shift_x(ps, -1), shift_x(ps, 1)
+        u2 = u - 0.5 * (pr_ - pl_)
+        v2 = v - 0.5 * (p[2:] - p[:-2])
+        return u2, v2, ps
+
+    def pressure_project(u, v, iters, half):
+        if use_pallas and u.shape[0] >= min(pallas_burst, max(iters, 1)) + 2:
+            return _fused_pressure_project(u, v, iters, half)
+        # shard-local composition (the single-chip fused kernels need
+        # velocity halos the exchange path provides per-op anyway)
+        return _composed_pressure_project(u, v, iters, half)
 
     def _splat(kind):
         def splat(u, v, dye, cur, last, dt, force_scale, radius, color):

@@ -163,9 +163,19 @@ def main():
 
             mesh = make_mesh(8, ens=1, devices=cpu_devs)
             n = 8192
+            # the production path: per-shard pallas burst kernels, fused
+            # divergence->Jacobi->project (1 velocity exchange + one
+            # pressure exchange per burst after the first)
             cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
-                                            backend="ref")
+                                            backend="pallas")
             traffic = measure_halo_traffic(cfg, mesh)
+            # the sweep-per-exchange ref schedule, for contrast (scan trip
+            # counts are now expanded, so this is the true ~1 sweep/pair)
+            cfg_ref = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
+                                                backend="ref")
+            traffic_ref = measure_halo_traffic(cfg_ref, mesh)
+            traffic["ref_backend_exchange_pairs_per_step"] = traffic_ref[
+                "exchange_pairs_per_step"]
 
             # execution validation at a CPU-feasible size
             nv = 512
@@ -194,7 +204,7 @@ def main():
             )
 
             mesh2 = make_mesh2d(2, 4, devices=cpu_devs)
-            t2 = measure_halo_traffic(cfg, mesh2,
+            t2 = measure_halo_traffic(cfg, mesh2,  # pallas backend config
                                       step_builder=make_shardmap2d_step)
             rec2 = {"config": "sharded 8192^2 (2x4 rows-x-cols mesh model)"}
             rec2.update(t2)

@@ -133,14 +133,23 @@ def test_halo_traffic_accounting():
     from cudafluidsimulation_tpu.parallel.halo import measure_halo_traffic
     from cudafluidsimulation_tpu.parallel.sharded import make_mesh
 
+    mesh = make_mesh(8, ens=1)
     cfg = FluidConfig.gpu_reference(nx=8192, ny=8192, pressure_iters=100,
                                     backend="ref")
-    mesh = make_mesh(8, ens=1)
     t = measure_halo_traffic(cfg, mesh)
     assert t["ppermute_per_step"] > 0
     assert t["ppermute_per_step"] % 2 == 0
     assert t["ici_bytes_per_step_per_device"] > 0
-    # jacobi stages at 100 sweeps must not exchange once per sweep: the
-    # per-sweep schedule would need >200 exchange pairs for pressure alone
-    assert t["exchange_pairs_per_step"] < 200
-    assert t["sweeps_per_exchange_pair"] > 1.0
+    # the ref backend exchanges once per sweep INSIDE a lax.scan; the scan
+    # trip count must be expanded (100 pressure + 20 stacked-diffusion
+    # sweeps + advect/vorticity/div/project singles = 126 pairs)
+    assert t["exchange_pairs_per_step"] == 126
+
+    # the pallas path bursts k sweeps per exchange and fuses div/project
+    # into the pressure bursts: advect 2 + vorticity 2 + diffuse 3 +
+    # pressure (1 + 13 - 1) = 20 pairs at burst=8
+    cfg_p = FluidConfig.gpu_reference(nx=8192, ny=8192, pressure_iters=100,
+                                      backend="pallas")
+    tp = measure_halo_traffic(cfg_p, mesh)
+    assert tp["exchange_pairs_per_step"] == 20
+    assert tp["sweeps_per_exchange_pair"] == 10.0
