@@ -112,6 +112,29 @@ def test_rows_small_shard_falls_back():
     np.testing.assert_allclose(np.asarray(u2), np.asarray(ur), atol=2e-6)
 
 
+@requires_multidevice
+@pytest.mark.parametrize("burst,iters", [(3, 7), (3, 3), (5, 12), (5, 11),
+                                         (8, 17), (6, 30)])
+def test_rows_fused_geometry_fuzz(burst, iters):
+    """Odd burst/iteration combinations: partial first bursts, 1-sweep
+    tails (iters % burst == 1 exercises dep=2 center-slicing), bursts that
+    do not divide the halo depth."""
+    u, v = _fields(seed=burst * 100 + iters)
+    mesh = make_mesh(8, ens=1)
+    ns = sharded_ops("x", H, 15, use_pallas=True, pallas_burst=burst)
+    fn = shard_map(
+        lambda uu, vv: ns.pressure_project(uu, vv, iters, True),
+        mesh=mesh, in_specs=(P("x", None), P("x", None)),
+        out_specs=(P("x", None), P("x", None), P("x", None)),
+        check_vma=False,
+    )
+    u2, v2, p = jax.jit(fn)(u, v)
+    ur, vr, pr = ref.pressure_project(u, v, iters, True)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pr), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vr), atol=2e-6)
+
+
 def _count_ppermute(jaxpr):
     n = 0
     for eqn in jaxpr.eqns:
