@@ -142,9 +142,28 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         l, r, b, t = _neighbors_2d(uvp)
         return 0.5 * (r[1] - l[1] - t[0] + b[0])
 
+    def _curl_padded(u, v):
+        """Curl with a 1-deep valid halo (both axes, corners included) from
+        ONE 2-deep exchange_2d of the velocity stack — halves the vorticity
+        stage's exchange pairs (see shardmap_step._curl_padded).  Physical
+        edges replicate the edge curl row/column, rows first then columns of
+        the row-fixed array, exactly matching exchange_2d(curl, 1, clamp)."""
+        uvp = _x2d(jnp.stack([u, v]), 2)
+        we = 0.5 * (uvp[1][1:-1, 2:] - uvp[1][1:-1, :-2]
+                    - uvp[0][2:, 1:-1] + uvp[0][:-2, 1:-1])
+        nr, nc = lax.axis_size(row_axis), lax.axis_size(col_axis)
+        ri, ci = lax.axis_index(row_axis), lax.axis_index(col_axis)
+        low = jnp.where(ri == 0, we[1:2], we[:1])
+        high = jnp.where(ri == nr - 1, we[-2:-1], we[-1:])
+        w2 = jnp.concatenate([low, we[1:-1], high], axis=0)
+        lft = jnp.where(ci == 0, w2[:, 1:2], w2[:, :1])
+        rgt = jnp.where(ci == nc - 1, w2[:, -2:-1], w2[:, -1:])
+        return jnp.concatenate([lft, w2[:, 1:-1], rgt], axis=1)
+
     def vorticity_confinement_cpu(u, v, dt, vorticity):
-        w = curl(u, v)
-        al, ar, ab, at = _neighbors_2d(_x2d(jnp.abs(w), 1))
+        wp = _curl_padded(u, v)
+        w = wp[1:-1, 1:-1]
+        al, ar, ab, at = _neighbors_2d(jnp.abs(wp))
         fx = 0.5 * (at - ab)
         fy = 0.5 * (ar - al)
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
@@ -152,8 +171,9 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         return u - fx * s * dt, v - fy * s * dt
 
     def vorticity_confinement_gpu(u, v, dt, vorticity):
-        w = curl(u, v)
-        wl, wr, wb, wt = _neighbors_2d(_x2d(w, 1))
+        wp = _curl_padded(u, v)
+        w = wp[1:-1, 1:-1]
+        wl, wr, wb, wt = _neighbors_2d(wp)
         fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
         fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-3

@@ -135,11 +135,28 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         l, r, b, t = neighbors_padded(uvp)
         return 0.5 * (r[1] - l[1] - t[0] + b[0])
 
+    def _curl_padded(u, v):
+        """Curl with a 1-row valid halo from ONE 2-deep velocity exchange
+        (instead of a 1-deep exchange for curl plus a second 1-deep exchange
+        of the curl field — the same fold-the-dependency trick as
+        _fused_pressure_project, halving the stage's exchange pairs).
+        Physical-edge halo rows are replaced by the edge curl row, exactly
+        what exchange_rows(curl, 1, clamp) would have supplied."""
+        from cudafluidsimulation_tpu.ops.stencil import shift_x
+
+        uvp = exchange_rows(jnp.stack([u, v]), 2, axis_name)
+        vl, vr = shift_x(uvp[1], -1), shift_x(uvp[1], 1)
+        we = 0.5 * (vr[1:-1] - vl[1:-1] - uvp[0][2:] + uvp[0][:-2])
+        n = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+        low = jnp.where(idx == 0, we[1:2], we[:1])
+        high = jnp.where(idx == n - 1, we[-2:-1], we[-1:])
+        return jnp.concatenate([low, we[1:-1], high], axis=0)
+
     def vorticity_confinement_cpu(u, v, dt, vorticity):
-        w = curl(u, v)
-        ac = jnp.abs(w)
-        acp = exchange_rows(ac, 1, axis_name)
-        al, ar, ab, at = neighbors_padded(acp)
+        wp = _curl_padded(u, v)
+        w = wp[1:-1]
+        al, ar, ab, at = neighbors_padded(jnp.abs(wp))
         fx = 0.5 * (at - ab)
         fy = 0.5 * (ar - al)
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
@@ -147,8 +164,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         return u - fx * s * dt, v - fy * s * dt
 
     def vorticity_confinement_gpu(u, v, dt, vorticity):
-        w = curl(u, v)
-        wp = exchange_rows(w, 1, axis_name)
+        wp = _curl_padded(u, v)
+        w = wp[1:-1]
         wl, wr, wb, wt = neighbors_padded(wp)
         fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
         fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
