@@ -78,6 +78,20 @@ def shard_state(state: FluidState, mesh: Mesh, batched: bool = False) -> FluidSt
     return jax.device_put(state, state_sharding(mesh, batched))
 
 
+def _auto_spmd_config(config: FluidConfig, mesh: Mesh) -> FluidConfig:
+    """XLA's SPMD partitioner treats ``pallas_call`` as an opaque custom
+    call it cannot partition, so on a >1-device mesh the auto-sharded path
+    must use the jnp ops (whose concat/slice stencils XLA partitions into
+    1-cell collective permutes itself).  The explicit shard_map paths
+    (parallel.shardmap_step / shardmap2d) are the pallas-composed
+    multi-chip paths — use those for per-shard burst kernels."""
+    if mesh.size > 1 and config.resolve_backend() == "pallas":
+        import dataclasses
+
+        return dataclasses.replace(config, backend="ref")
+    return config
+
+
 def make_sharded_step(config: FluidConfig, mesh: Mesh, batched: bool = False):
     """jit-compiled step with explicit input/output shardings.
 
@@ -85,7 +99,7 @@ def make_sharded_step(config: FluidConfig, mesh: Mesh, batched: bool = False):
     batch rides the "ens" mesh axis while rows ride "x" — the 2-D
     (dp x sp)-style layout.
     """
-    step = make_step(config)
+    step = make_step(_auto_spmd_config(config, mesh))
     if batched:
         step = jax.vmap(step)
     ss = state_sharding(mesh, batched)
@@ -95,7 +109,7 @@ def make_sharded_step(config: FluidConfig, mesh: Mesh, batched: bool = False):
 
 def sharded_rollout(config: FluidConfig, mesh: Mesh, batched: bool = False):
     """jit-compiled lax.scan rollout with sharded carry."""
-    step = make_step(config)
+    step = make_step(_auto_spmd_config(config, mesh))
     if batched:
         step = jax.vmap(step)
 

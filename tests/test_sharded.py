@@ -93,3 +93,33 @@ def test_sharded_ensemble_rollout():
     np.testing.assert_allclose(
         np.asarray(out.u[0]), np.asarray(ref_final.u), atol=1e-5, rtol=1e-5
     )
+
+
+@requires_multidevice
+def test_auto_spmd_never_traces_pallas():
+    """XLA's SPMD partitioner cannot partition an opaque pallas_call: on a
+    >1-device mesh the auto-sharded builders must fall back to the jnp ops
+    (the explicit shard_map paths are the pallas-composed ones)."""
+    from cudafluidsimulation_tpu.utils.impulse import orbit_impulse
+
+    cfg = FluidConfig.gpu_reference(nx=256, ny=256, backend="pallas",
+                                    diffusion_iters=4, pressure_iters=8)
+    mesh = make_mesh(8, ens=1)
+    step = make_sharded_step(cfg, mesh)
+    st = init_state(cfg)
+    imp = slice_step(orbit_impulse(1, cfg.dt, center=(128.0, 128.0),
+                                   radius=32.0), 0)
+
+    def prims(jx, out):
+        for eqn in jx.eqns:
+            out.add(eqn.primitive.name)
+            for p in eqn.params.values():
+                for sub in (p if isinstance(p, (list, tuple)) else [p]):
+                    if hasattr(sub, "eqns"):
+                        prims(sub, out)
+                    elif hasattr(sub, "jaxpr"):
+                        prims(sub.jaxpr, out)
+        return out
+
+    names = prims(jax.make_jaxpr(step)(st, imp).jaxpr, set())
+    assert "pallas_call" not in names
