@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --view term: overlap step dispatch with frame "
                    "readback (one frame of latency, much higher FPS on "
                    "high-latency links)")
+    p.add_argument("--mesh", choices=["none", "rows", "2d"], default="none",
+                   help="shard the rollout over the available devices: "
+                   "'rows' = 1-D row decomposition (shard_map + ppermute "
+                   "halo exchanges), '2d' = rows x cols spatial torus; the "
+                   "grid must be divisible by the mesh shape")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="device count for --mesh (0 = all visible devices)")
     return p
 
 
@@ -140,6 +147,10 @@ def main(argv=None) -> int:
             )
     else:
         state = sim.init()
+
+    if args.view != "none" and args.mesh != "none":
+        print(f"note: --mesh is ignored with --view {args.view} "
+              "(the live frame loop is single-device)")
 
     if args.view != "none":
         # interactive-style frame loop with a live view (ANSI terminal or
@@ -241,6 +252,39 @@ def main(argv=None) -> int:
     from cudafluidsimulation_tpu.utils.health import HealthError, check_health
     from cudafluidsimulation_tpu.utils.impulse import Impulse
 
+    # --mesh: swap the rollout for a shard_map'd one over a device mesh
+    # (the multi-chip path the reference never had, SURVEY.md §5); state
+    # is sharded in place, frames/fields/checkpoints gather transparently
+    run_fn = sim.run
+    if args.mesh != "none":
+        ndev = args.mesh_devices or len(jax.devices())
+        if args.mesh == "rows":
+            from cudafluidsimulation_tpu.parallel.sharded import (
+                make_mesh, shard_state,
+            )
+            from cudafluidsimulation_tpu.parallel.shardmap_step import (
+                make_shardmap_rollout,
+            )
+
+            mesh = make_mesh(ndev, ens=1)
+            run_fn = make_shardmap_rollout(cfg, mesh)
+            state = shard_state(state, mesh)
+            print(f"mesh: {ndev} devices, rows-only decomposition")
+        else:
+            from cudafluidsimulation_tpu.parallel.shardmap2d import (
+                make_mesh2d, make_shardmap2d_rollout, shard_state_2d,
+            )
+
+            nr = 1
+            for cand in range(int(ndev ** 0.5), 0, -1):
+                if ndev % cand == 0:
+                    nr = cand
+                    break
+            mesh = make_mesh2d(nr, ndev // nr)
+            run_fn = make_shardmap2d_rollout(cfg, mesh)
+            state = shard_state_2d(state, mesh)
+            print(f"mesh: {ndev} devices, {nr}x{ndev // nr} rows x cols")
+
     collect = bool(args.frames_dir or args.apng or args.video)
     health_on = args.health is not None
     max_speed = args.health if (health_on and args.health > 0) else None
@@ -276,11 +320,11 @@ def main(argv=None) -> int:
     # remainder compiling inside the loop would bill a 20s+ remote compile
     # to Max frame / the trace)
     if seg < n_total:
-        jax.block_until_ready(sim.run(state, Impulse(*(f[:seg] for f in imp))).u)
+        jax.block_until_ready(run_fn(state, Impulse(*(f[:seg] for f in imp))).u)
         rem = n_total % seg
         if rem:
             jax.block_until_ready(
-                sim.run(state, Impulse(*(f[:rem] for f in imp))).u)
+                run_fn(state, Impulse(*(f[:rem] for f in imp))).u)
 
     profile_ctx = (jax.profiler.trace(args.profile_dir) if args.profile_dir
                    else contextlib.nullcontext())
@@ -293,7 +337,7 @@ def main(argv=None) -> int:
             end = min(start + seg, n_total)
             part = Impulse(*(f[start:end] for f in imp))
             s0 = time.perf_counter()
-            state = sim.run(state, part)
+            state = run_fn(state, part)
             jax.block_until_ready(state.u)
             seg_stats.append((time.perf_counter() - s0, end - start))
             if collect:
@@ -351,7 +395,11 @@ def main(argv=None) -> int:
         print(f"saved checkpoint to {args.checkpoint}")
 
     rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
-    if args.report:
+    if args.report and args.mesh != "none":
+        print("note: per-stage --report sampling reflects the single-chip "
+              "op set; skipped with --mesh (whole-step timings above are "
+              "the sharded rollout's)")
+    elif args.report:
         if args.report_mode == "instrumented":
             from cudafluidsimulation_tpu.utils.instrument import run_instrumented
 

@@ -5,6 +5,7 @@ import sys
 import zlib
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -325,3 +326,28 @@ def test_cli_health_failure_saves_last_good(tmp_path):
     # (healthy) initial state
     st = load_state(str(ck))
     assert int(st.step) == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.parametrize("mesh", ["rows", "2d"])
+def test_cli_mesh_matches_single_device(tmp_path, mesh, capsys):
+    """--mesh runs the shard_map rollout from the CLI and produces the same
+    fields as the single-device run (frames/fields/checkpoints gather)."""
+    from cudafluidsimulation_tpu.cli import main
+
+    f_single = tmp_path / "single.npz"
+    f_mesh = tmp_path / "mesh.npz"
+    # 128 so 8 row-shards stay >= max_displacement; 4 steps because the
+    # default gpu parameter set is chaotic (CLAUDE.md: cross-implementation
+    # comparisons use short runs or mild parameters)
+    base = ["--grid", "128", "--steps", "4", "--backend", "ref",
+            "--impulse", "orbit"]
+    assert main(base + ["--save-fields", str(f_single)]) == 0
+    assert main(base + ["--save-fields", str(f_mesh), "--mesh", mesh,
+                        "--mesh-devices", "8", "--report"]) == 0
+    out = capsys.readouterr().out
+    assert "mesh: 8 devices" in out
+    with np.load(f_single) as a, np.load(f_mesh) as b:
+        for k in ("u", "v", "dye", "pressure"):
+            np.testing.assert_allclose(b[k], a[k], atol=5e-5, rtol=1e-4,
+                                       err_msg=k)
