@@ -39,9 +39,16 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         u, v, dye = state.u, state.v, state.dye
 
         # -- advection (velocity first; dye uses post-advection velocity,
-        #    cpuFluidSim.cpp:340-341 / GPUFluidSim.cu:620-622)
-        u, v = ops.advect_velocity(u, v, dt, config.decay_rate)
-        dye = ops.advect_dye(dye, u, v, dt, config.decay_rate)
+        #    cpuFluidSim.cpp:340-341 / GPUFluidSim.cu:620-622).  A namespace
+        #    may provide the optional fused ``advect_both`` (the sharded
+        #    paths do: one halo exchange carries velocity AND dye, since
+        #    both advections tap pre-advection data).
+        advect_both = getattr(ops, "advect_both", None)
+        if advect_both is not None:
+            u, v, dye = advect_both(u, v, dye, dt, config.decay_rate)
+        else:
+            u, v = ops.advect_velocity(u, v, dt, config.decay_rate)
+            dye = ops.advect_dye(dye, u, v, dt, config.decay_rate)
 
         # -- vorticity confinement
         if cpu_variant:

@@ -79,6 +79,11 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
 
     def _bilerp_2d(field, u, v, dt):
         """Backtrace + bilerp with taps clamped to the d-deep 2-D halo."""
+        return _bilerp_2d_padded(_x2d(field, d), u, v, dt)
+
+    def _bilerp_2d_padded(fp, u, v, dt):
+        """_bilerp_2d on an ALREADY d-deep-exchanged field (lets one
+        exchange serve several advections)."""
         hl, wl = u.shape
         ys_f, ys_i, xs_f, xs_i = _global_grids((hl, wl))
         px = xs_f - dt * u
@@ -97,7 +102,6 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         ry2 = jnp.clip(cy2 - ys_i, -d, d) + ly + d
         rx1 = jnp.clip(cx1 - xs_i, -d, d) + lx + d
         rx2 = jnp.clip(cx2 - xs_i, -d, d) + lx + d
-        fp = _x2d(field, d)
         p00 = ref._gather2d(fp, ry1, rx1)
         p01 = ref._gather2d(fp, ry1, rx2)
         p10 = ref._gather2d(fp, ry2, rx1)
@@ -134,6 +138,27 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_2d(dye, u, v, dt)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+
+    def advect_both(u, v, dye, dt, decay_rate):
+        """Velocity + dye advection off ONE d-deep exchange_2d of the
+        stacked 5-channel halo (see shardmap_step.advect_both: both
+        advections tap PRE-advection data, and the dye backtrace's NEW
+        velocity needs only zero padding)."""
+        allp = _x2d(jnp.concatenate([jnp.stack([u, v]), dye]), d)
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        zpad = [(d, d), (d, d)]
+        if use_pallas:
+            uv = _advect_pallas_2d(allp[:2], allp[0], allp[1], dt,
+                                   decay_rate, "field")
+            u2, v2 = uv[0], uv[1]
+            dye2 = _advect_pallas_2d(allp[2:], jnp.pad(u2, zpad),
+                                     jnp.pad(v2, zpad), dt, decay_rate,
+                                     "dye")
+            return u2, v2, dye2
+        uv = _bilerp_2d_padded(allp[:2], u, v, dt) * decay
+        u2, v2 = uv[0], uv[1]
+        c = _bilerp_2d_padded(allp[2:], u2, v2, dt)
+        return u2, v2, jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
     # -- stencil stages ---------------------------------------------------------
 
@@ -422,6 +447,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
     ns.bilerp = ref.bilerp
     ns.advect_velocity = advect_velocity
     ns.advect_dye = advect_dye
+    ns.advect_both = advect_both
     ns.curl = curl
     ns.vorticity_confinement_cpu = vorticity_confinement_cpu
     ns.vorticity_confinement_gpu = vorticity_confinement_gpu

@@ -44,6 +44,13 @@ _gather_local = ref._gather2d  # same flatten/take/reshape gather helper
 def _bilerp_sharded(field, u, v, dt, h_global, d, axis_name):
     """Backtrace + bilerp within a d-row halo (displacement bound d, same
     contract as ops.advect_pallas)."""
+    fp = exchange_rows(field, d, axis_name, edge="clamp")
+    return _bilerp_padded(fp, u, v, dt, h_global, d, axis_name)
+
+
+def _bilerp_padded(fp, u, v, dt, h_global, d, axis_name):
+    """_bilerp_sharded on an ALREADY d-row-exchanged field ``fp`` (lets one
+    exchange serve several advections)."""
     hl, w = u.shape
     ys_f, ys_i = _global_rows((hl, w), axis_name)
     xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
@@ -64,7 +71,6 @@ def _bilerp_sharded(field, u, v, dt, h_global, d, axis_name):
     ry1 = jnp.clip(cy1 - ys_i, -d, d) + ly + d
     ry2 = jnp.clip(cy2 - ys_i, -d, d) + ly + d
 
-    fp = exchange_rows(field, d, axis_name, edge="clamp")
     p00 = _gather_local(fp, ry1, cx1)
     p01 = _gather_local(fp, ry1, cx2)
     p10 = _gather_local(fp, ry2, cx1)
@@ -128,6 +134,36 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+
+    def advect_both(u, v, dye, dt, decay_rate):
+        """Velocity + dye advection off ONE d-deep exchange of the stacked
+        5-channel (velocity, dye) halo: both advections tap PRE-advection
+        data (the reference's double buffer, GPUFluidSim.cu:620-622), so the
+        dye halo rides the velocity exchange even though its backtrace uses
+        the NEW velocity — whose halo rows only influence discarded output
+        (zero padding suffices, as in advect_dye)."""
+        allp = exchange_rows(jnp.concatenate([jnp.stack([u, v]), dye]), d,
+                             axis_name, edge="clamp")
+        decay = 1.0 / (1.0 + decay_rate * dt)
+        if use_pallas:
+            from cudafluidsimulation_tpu.ops import advect_pallas
+
+            hl = u.shape[0]
+            g0 = lax.axis_index(axis_name) * hl - d
+            uv = advect_pallas.advect(allp[:2], allp[0], allp[1], dt,
+                                      float(decay_rate), "field", d,
+                                      y0=g0, h_phys=h_global)[:, d:-d, :]
+            u2, v2 = uv[0], uv[1]
+            zpad = [(d, d), (0, 0)]
+            dye2 = advect_pallas.advect(allp[2:], jnp.pad(u2, zpad),
+                                        jnp.pad(v2, zpad), dt,
+                                        float(decay_rate), "dye", d,
+                                        y0=g0, h_phys=h_global)[:, d:-d, :]
+            return u2, v2, dye2
+        uv = _bilerp_padded(allp[:2], u, v, dt, h_global, d, axis_name) * decay
+        u2, v2 = uv[0], uv[1]
+        c = _bilerp_padded(allp[2:], u2, v2, dt, h_global, d, axis_name)
+        return u2, v2, jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
     def curl(u, v):
         # one stacked exchange for both components (half the ppermute pairs)
@@ -386,6 +422,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     ns.bilerp = ref.bilerp  # unused by the pipeline directly
     ns.advect_velocity = advect_velocity
     ns.advect_dye = advect_dye
+    ns.advect_both = advect_both
     ns.curl = curl
     ns.vorticity_confinement_cpu = vorticity_confinement_cpu
     ns.vorticity_confinement_gpu = vorticity_confinement_gpu

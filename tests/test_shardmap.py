@@ -142,15 +142,15 @@ def test_halo_traffic_accounting():
     assert t["ici_bytes_per_step_per_device"] > 0
     # the ref backend exchanges once per sweep INSIDE a lax.scan; the scan
     # trip count must be expanded (100 pressure + 20 stacked-diffusion
-    # sweeps + advect/curl/div/project singles = 125 pairs; curl is ONE
-    # 2-deep velocity exchange on both backends)
-    assert t["exchange_pairs_per_step"] == 125
+    # sweeps + advect/curl/div/project singles = 124 pairs; curl and the
+    # fused 5-channel advection exchange apply to both backends)
+    assert t["exchange_pairs_per_step"] == 124
 
-    # the pallas path bursts k sweeps per exchange and fuses div/project
-    # into the pressure bursts and curl into one 2-deep velocity exchange:
-    # advect 2 + vorticity 1 + diffuse 3 + pressure (1 + 13 - 1) = 19 pairs
-    # at burst=8
+    # the pallas path bursts k sweeps per exchange, fuses div/project into
+    # the pressure bursts, curl into one 2-deep velocity exchange, and both
+    # advections onto one 5-channel exchange: advect 1 + vorticity 1 +
+    # diffuse 3 + pressure (1 + 13 - 1) = 18 pairs at burst=8
     cfg_p = FluidConfig.gpu_reference(nx=8192, ny=8192, pressure_iters=100,
                                       backend="pallas")
     tp = measure_halo_traffic(cfg_p, mesh)
-    assert tp["exchange_pairs_per_step"] == 19
+    assert tp["exchange_pairs_per_step"] == 18
