@@ -74,9 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http-port", type=int, default=0,
                    help="port for --view http (0 = pick a free one)")
     p.add_argument("--interactive", action="store_true",
-                   help="with --view term: steer the fluid live (mouse drag "
-                   "or WASD+space; q quits) — the reference's mouse capture, "
-                   "in the terminal")
+                   help="steer the fluid live — the reference's mouse "
+                   "capture: with --view term, mouse drag or WASD+space in "
+                   "the terminal; with --view http, drag in the browser "
+                   "page itself (q quits in both)")
     p.add_argument("--pipelined", action="store_true",
                    help="with --view term: overlap step dispatch with frame "
                    "readback (one frame of latency, much higher FPS on "
@@ -193,12 +194,24 @@ def main(argv=None) -> int:
 
             viewer = TermViewer()
 
-        if args.interactive:
+        if args.interactive and args.view == "http":
+            # live input FROM the browser page itself: the stream page posts
+            # pointer drags back to /input, the source polls them per frame
+            # (Main.cpp:213-243, browser edition)
+            app = FluidApp(cfg, input_source=viewer.input_source(nx, ny),
+                           frame_sink=viewer, fixed_dt=args.dt)
+            app.state = state
+            try:
+                report = app.run(max_frames=args.steps or None,
+                                 pipelined=args.pipelined,
+                                 stop_when=lambda: viewer.quit_requested)
+            except KeyboardInterrupt:
+                report = None
+            state = app.state
+        elif args.interactive:
             # live input: mouse drag / WASD — the reference's interactive
-            # loop (Main.cpp:213-243), terminal edition.  Sized to the
-            # TERM viewer so mouse cells land on the rendered pixels; with
-            # the http view the terminal carries only input, so cells map
-            # onto the whole grid.
+            # loop (Main.cpp:213-243), terminal edition, sized to the TERM
+            # viewer so mouse cells land on the rendered pixels
             import shutil
 
             from cudafluidsimulation_tpu.utils.term_input import TermInput
@@ -206,10 +219,9 @@ def main(argv=None) -> int:
             size = shutil.get_terminal_size((80, 24))
             cols = min(size.columns, 120)
             rows = min(size.lines - 2, 48)
-            if args.view == "term":
-                cols = viewer.cols or cols
-                rows = viewer.rows or rows
-                viewer.cols, viewer.rows = cols, rows
+            cols = viewer.cols or cols
+            rows = viewer.rows or rows
+            viewer.cols, viewer.rows = cols, rows
             tin = TermInput(nx, ny, cols, rows)
             with tin:
                 app = FluidApp(cfg, input_source=tin.source(),

@@ -10,7 +10,12 @@ The native backend is native/httpview.cpp (auto-built like the frame sink);
 a pure Python ``http.server`` fallback keeps the feature available without
 a toolchain.
 
-Usage: CLI ``--view http [--http-port N]``, or::
+The served page also captures pointer drags and posts them back to
+``/input`` — ``poll_input()`` / ``input_source(nx, ny)`` turn that into a
+live FluidApp input source (the reference's mouse capture, Main.cpp:213-243,
+browser edition; CLI ``--view http --interactive``).
+
+Usage: CLI ``--view http [--http-port N] [--interactive]``, or::
 
     with HttpViewer(width=512, height=512) as hv:
         print(hv.url)          # e.g. http://localhost:40123/
@@ -49,6 +54,13 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.hv_port.restype = ctypes.c_int
             lib.hv_port.argtypes = [ctypes.c_void_p]
             lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.hv_input.restype = ctypes.c_uint64
+            lib.hv_input.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.hv_quit.restype = ctypes.c_int
+            lib.hv_quit.argtypes = [ctypes.c_void_p]
             lib.hv_clients.restype = ctypes.c_int
             lib.hv_clients.argtypes = [ctypes.c_void_p]
             lib.hv_frames.restype = ctypes.c_uint64
@@ -86,12 +98,38 @@ class _PyHttpView:
         view._png_bytes = png_bytes
         view._clients = 0
         view._frames = 0
+        view._input = (0.0, 0.0, 0)  # x, y, pressed (image pixel coords)
+        view._input_seq = 0
+        view._quit = False
 
         page = (b"<!doctype html><html><head><title>tpu-stable-fluids"
                 b"</title></head><body style='background:#111;color:#ddd;"
                 b"text-align:center;font-family:monospace'>"
-                b"<div>tpu-stable-fluids &mdash; live</div>"
-                b"<img src='/stream' alt='live stream'></body></html>")
+                b"<div>tpu-stable-fluids &mdash; live "
+                b"(drag to splat &middot; q quits)</div>"
+                b"<img id='v' src='/stream' alt='live stream' "
+                b"draggable='false' style='touch-action:none'>"
+                b"<script>"
+                b"var img=document.getElementById('v'),down=false,px=0,py=0,"
+                b"dirty=false;"
+                b"function upd(e){var r=img.getBoundingClientRect();"
+                b"px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;"
+                b"py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;"
+                b"dirty=true;}"
+                b"function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+"
+                b"py.toFixed(2)+'&p='+p+(q?'&q=1':''));}"
+                b"img.addEventListener('pointerdown',function(e){down=true;"
+                b"img.setPointerCapture(e.pointerId);upd(e);send(1,0);"
+                b"e.preventDefault();});"
+                b"img.addEventListener('pointermove',function(e){"
+                b"if(down)upd(e);});"
+                b"window.addEventListener('pointerup',function(e){if(down){"
+                b"down=false;upd(e);send(0,0);}});"
+                b"setInterval(function(){if(down&&dirty){dirty=false;"
+                b"send(1,0);}},33);"
+                b"window.addEventListener('keydown',function(e){"
+                b"if(e.key==='q')send(0,1);});"
+                b"</script></body></html>")
 
         def latest_png():
             """Encode-on-demand with a per-seq cache (see native server)."""
@@ -118,6 +156,29 @@ class _PyHttpView:
                     self.send_header("Content-Length", str(len(page)))
                     self.end_headers()
                     self.wfile.write(page)
+                elif self.path.startswith("/input") and (
+                        len(self.path) == 6 or self.path[6] == "?"):
+                    import urllib.parse
+
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlsplit(self.path).query)
+
+                    def val(k, default=None):
+                        try:
+                            return float(q[k][0])
+                        except (KeyError, ValueError, IndexError):
+                            return default
+
+                    with view._cond:
+                        x, y = val("x"), val("y")
+                        if x is not None and y is not None:
+                            view._input = (x, y,
+                                           1 if val("p", 0.0) else 0)
+                            view._input_seq += 1
+                        if val("q", 0.0):
+                            view._quit = True
+                    self.send_response(204)
+                    self.end_headers()
                 elif self.path == "/frame":
                     data, _ = latest_png()
                     self.send_response(200 if data else 503)
@@ -177,6 +238,16 @@ class _PyHttpView:
     def frames(self) -> int:
         with self._cond:
             return self._frames
+
+    def poll_input(self):
+        with self._cond:
+            x, y, p = self._input
+            return self._input_seq, x, y, p
+
+    @property
+    def quit_requested(self) -> bool:
+        with self._cond:
+            return self._quit
 
     def push(self, frame: np.ndarray) -> None:
         raw = np.ascontiguousarray(frame, dtype=np.uint8).copy()
@@ -255,6 +326,52 @@ class HttpViewer:
         if self._handle is not None:
             return int(self._lib.hv_frames(self._handle))
         return self._py.frames if self._py is not None else 0
+
+    def poll_input(self):
+        """Latest browser pointer state as ``(seq, x, y, pressed)``.
+
+        ``seq`` is 0 until any ``/input`` request arrives; ``x``/``y`` are
+        image pixel coordinates (origin top-left) as sent by the page's
+        pointer-capture script."""
+        if self._handle is not None:
+            x = ctypes.c_float()
+            y = ctypes.c_float()
+            p = ctypes.c_int()
+            seq = self._lib.hv_input(self._handle, ctypes.byref(x),
+                                     ctypes.byref(y), ctypes.byref(p))
+            return int(seq), float(x.value), float(y.value), int(p.value)
+        if self._py is not None:
+            return self._py.poll_input()
+        return 0, 0.0, 0.0, 0
+
+    @property
+    def quit_requested(self) -> bool:
+        """True once a viewer pressed ``q`` (sent as ``/input?...&q=1``)."""
+        if self._handle is not None:
+            return bool(self._lib.hv_quit(self._handle))
+        return self._py.quit_requested if self._py is not None else False
+
+    def input_source(self, nx: int, ny: int):
+        """An ``InputSource`` for :class:`~..models.app.FluidApp`: polls the
+        latest browser pointer state each frame and maps image pixels to
+        grid coordinates (the frame image is y-flipped: row 0 is the grid's
+        top row, see Simulation.frame_image).  The reference's mouse capture
+        (Main.cpp:213-243), browser edition."""
+        state = {"pos": (nx / 2.0, ny / 2.0), "last": (nx / 2.0, ny / 2.0),
+                 "pressed": False}
+
+        def src(t: float):
+            seq, x, y, p = self.poll_input()
+            if seq:
+                gx = min(max(x, 0.0), nx - 1.0)
+                gy = min(max(ny - 1.0 - y, 0.0), ny - 1.0)
+                state["pos"] = (gx, gy)
+                state["pressed"] = bool(p)
+            last = state["last"]
+            state["last"] = state["pos"]
+            return state["pos"], last, state["pressed"]
+
+        return src
 
     def push(self, frame: np.ndarray) -> None:
         """Publish an (H, W, 4) uint8 frame (lazily opens on first frame

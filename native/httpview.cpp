@@ -13,14 +13,22 @@
 // and always publishes the latest frame (viewers skip intermediate ones).
 //
 // Routes:
-//   GET /        tiny HTML page embedding the stream
+//   GET /        HTML page embedding the stream + pointer-capture JS that
+//                posts mouse drags back (the reference's interactive mouse,
+//                Main.cpp:213-243, browser edition)
 //   GET /frame   single latest PNG (curl-able readiness/health probe)
 //   GET /stream  multipart/x-mixed-replace live stream
+//   GET /input?x=F&y=F&p=0|1[&q=1]
+//                publish pointer state (image pixel coords, origin top-left;
+//                p = button held; q=1 requests quit) -> 204
 //
 // C ABI (used from Python via ctypes):
 //   hv_open(port, w, h) -> handle   (port 0 = ephemeral; see hv_port)
 //   hv_port(handle)                 actual bound port, 0 on bind failure
 //   hv_push(handle, rgba_ptr)       publish a frame (copy + notify)
+//   hv_input(handle, &x, &y, &p)    latest pointer state; returns input seq
+//                                   (0 = no input ever received)
+//   hv_quit(handle)                 1 once a client requested quit
 //   hv_clients(handle)              currently connected stream clients
 //   hv_frames(handle)               frames published
 //   hv_close(handle)                stop accepting, drop clients, join, free
@@ -39,6 +47,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -53,9 +62,39 @@ const char* kPage =
     "<!doctype html><html><head><title>tpu-stable-fluids</title>"
     "<style>body{background:#111;color:#ddd;font-family:monospace;"
     "text-align:center}img{image-rendering:pixelated;margin-top:1em;"
-    "max-width:96vw;max-height:88vh}</style></head><body>"
-    "<div>tpu-stable-fluids &mdash; live</div>"
-    "<img src=\"/stream\" alt=\"live stream\"></body></html>";
+    "max-width:96vw;max-height:88vh;touch-action:none;cursor:crosshair}"
+    "</style></head><body>"
+    "<div>tpu-stable-fluids &mdash; live (drag to splat &middot; q quits)</div>"
+    "<img id=\"v\" src=\"/stream\" alt=\"live stream\" draggable=\"false\">"
+    "<script>\n"
+    "var img=document.getElementById('v'),down=false,px=0,py=0,dirty=false;\n"
+    "function upd(e){var r=img.getBoundingClientRect();\n"
+    " px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;\n"
+    " py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;\n"
+    " dirty=true;}\n"
+    "function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+py.toFixed(2)+\n"
+    " '&p='+p+(q?'&q=1':''));}\n"
+    "img.addEventListener('pointerdown',function(e){down=true;\n"
+    " img.setPointerCapture(e.pointerId);upd(e);send(1,0);e.preventDefault();});\n"
+    "img.addEventListener('pointermove',function(e){if(down)upd(e);});\n"
+    "window.addEventListener('pointerup',function(e){if(down){down=false;\n"
+    " upd(e);send(0,0);}});\n"
+    "setInterval(function(){if(down&&dirty){dirty=false;send(1,0);}},33);\n"
+    "window.addEventListener('keydown',function(e){if(e.key==='q')send(0,1);});\n"
+    "</script></body></html>";
+
+// value of ?key= in a request path, false when absent
+bool query_val(const std::string& path, const char* key, double* out) {
+  size_t q = path.find('?');
+  if (q == std::string::npos) return false;
+  std::string ks = std::string(key) + "=";
+  size_t p = path.find(ks, q);
+  while (p != std::string::npos && path[p - 1] != '?' && path[p - 1] != '&')
+    p = path.find(ks, p + 1);
+  if (p == std::string::npos) return false;
+  *out = atof(path.c_str() + p + ks.size());
+  return true;
+}
 
 bool send_all(int fd, const void* data, size_t n) {
   const char* p = static_cast<const char*>(data);
@@ -84,6 +123,12 @@ struct HttpView {
   std::vector<uint8_t> png;      // lazily encoded cache of frame png_seq
   uint64_t png_seq = 0;
   bool closing = false;
+
+  // latest pointer state from /input (image pixel coords, origin top-left)
+  float in_x = 0.0f, in_y = 0.0f;
+  int in_pressed = 0;
+  uint64_t in_seq = 0;           // 0 = nothing received yet
+  bool quit_flag = false;
 
   std::atomic<int> clients{0};
   std::atomic<uint64_t> frames{0};
@@ -173,6 +218,20 @@ struct HttpView {
                strlen(kPage));
       send_str(fd, head);
       send_str(fd, kPage);
+    } else if (path.rfind("/input", 0) == 0 &&
+               (path.size() == 6 || path[6] == '?')) {
+      double x, y, p, q;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (query_val(path, "x", &x) && query_val(path, "y", &y)) {
+          in_x = float(x);
+          in_y = float(y);
+          in_pressed = query_val(path, "p", &p) && p != 0.0 ? 1 : 0;
+          in_seq++;
+        }
+        if (query_val(path, "q", &q) && q != 0.0) quit_flag = true;
+      }
+      send_str(fd, "HTTP/1.1 204 No Content\r\nConnection: close\r\n\r\n");
     } else if (path == "/frame") {
       uint64_t s;
       std::vector<uint8_t> data = latest_png(&s);
@@ -290,6 +349,21 @@ void hv_push(void* handle, const uint8_t* rgba) {
   }
   s->frames++;
   s->cv.notify_all();
+}
+
+uint64_t hv_input(void* handle, float* x, float* y, int* pressed) {
+  auto* s = static_cast<HttpView*>(handle);
+  std::lock_guard<std::mutex> lk(s->mu);
+  *x = s->in_x;
+  *y = s->in_y;
+  *pressed = s->in_pressed;
+  return s->in_seq;
+}
+
+int hv_quit(void* handle) {
+  auto* s = static_cast<HttpView*>(handle);
+  std::lock_guard<std::mutex> lk(s->mu);
+  return s->quit_flag ? 1 : 0;
 }
 
 int hv_clients(void* handle) {

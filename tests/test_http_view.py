@@ -51,6 +51,64 @@ def test_page_frame_and_stream(force_python):
         conn.close()
 
 
+@pytest.mark.parametrize("force_python",
+                         [False, True] if native_available() else [True])
+def test_input_route_and_source(force_python):
+    """Browser pointer input: /input updates poll_input(), the InputSource
+    maps image pixels to (y-flipped) grid coords, q requests quit."""
+    with HttpViewer(width=24, height=16, force_python=force_python) as hv:
+        assert hv.poll_input() == (0, 0.0, 0.0, 0)
+        assert not hv.quit_requested
+        _, _, body = _get(hv.url)
+        assert b"/input" in body  # the page carries the pointer script
+
+        src = hv.input_source(24, 16)
+        pos0, last0, pressed0 = src(0.0)
+        assert pos0 == (12.0, 8.0) and not pressed0  # center until input
+
+        _get(hv.url + "input?x=10.5&y=3.25&p=1")
+        seq, x, y, p = hv.poll_input()
+        assert (seq, p) == (1, 1)
+        assert x == pytest.approx(10.5) and y == pytest.approx(3.25)
+        pos, last, pressed = src(0.1)
+        assert pressed and last == pos0
+        assert pos[0] == pytest.approx(10.5)
+        assert pos[1] == pytest.approx(16 - 1 - 3.25)  # image row 0 = top
+
+        _get(hv.url + "input?x=999&y=-5&p=0")  # out of range: clamped
+        pos2, last2, pressed2 = src(0.2)
+        assert not pressed2 and last2 == pos
+        assert pos2 == (23.0, 15.0)
+
+        assert not hv.quit_requested
+        _get(hv.url + "input?x=0&y=0&p=0&q=1")
+        assert hv.quit_requested
+
+
+def test_interactive_app_via_http_input():
+    """End-to-end: input posted to the server steers a FluidApp frame loop
+    (the CLI's --view http --interactive wiring)."""
+    from cudafluidsimulation_tpu import FluidConfig
+    from cudafluidsimulation_tpu.models.app import FluidApp
+
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
+                                    diffusion_iters=2, pressure_iters=2,
+                                    force_scale=500.0, vorticity=0.5)
+    with HttpViewer(width=64, height=64) as hv:
+        _get(hv.url + "input?x=32&y=32&p=1")  # press at the center
+        app = FluidApp(cfg, input_source=hv.input_source(64, 64),
+                       frame_sink=hv, fixed_dt=1 / 60,
+                       log=lambda s: None)
+        app.run(max_frames=4, stop_when=lambda: hv.quit_requested)
+        assert app.frames == 4
+        dye = np.asarray(app.state.dye)
+        assert np.isfinite(dye).all() and dye.sum() > 0  # the splat landed
+
+        _get(hv.url + "input?x=0&y=0&p=0&q=1")  # browser 'q'
+        app.run(max_frames=100, stop_when=lambda: hv.quit_requested)
+        assert app.frames == 4  # quit observed before any further frame
+
+
 def test_push_before_dimensions_lazy_open():
     hv = HttpViewer(force_python=True)
     try:
