@@ -43,9 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the collected frames as one animated PNG")
     p.add_argument("--apng-fps", type=float, default=30.0)
     p.add_argument("--video", default="",
-                   help="write the collected frames as an uncompressed RGB "
-                   "AVI (plays in VLC/mpv/ffmpeg; no dependencies)")
+                   help="write the collected frames as an AVI (MJPEG when "
+                   "the native encoder is available, else uncompressed RGB; "
+                   "plays in VLC/mpv/ffmpeg — no dependencies)")
     p.add_argument("--video-fps", type=float, default=30.0)
+    p.add_argument("--video-codec", choices=["auto", "mjpeg", "rgb"],
+                   default="auto",
+                   help="auto = MJPEG if the native JPEG encoder builds, "
+                   "else lossless uncompressed RGB")
+    p.add_argument("--video-quality", type=int, default=90,
+                   help="MJPEG quality 1-100 (90 ~ visually lossless)")
     p.add_argument("--save-fields", default="", help="npz path for final fields")
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -390,8 +397,9 @@ def main(argv=None) -> int:
     if args.video:
         from cudafluidsimulation_tpu.utils.video import write_avi
 
-        write_avi(args.video, list(frames), fps=args.video_fps)
-        print(f"wrote {len(frames)}-frame AVI to {args.video} "
+        used = write_avi(args.video, list(frames), fps=args.video_fps,
+                         codec=args.video_codec, quality=args.video_quality)
+        print(f"wrote {len(frames)}-frame {used.upper()} AVI to {args.video} "
               "(ffmpeg -i ... out.mp4 to transcode)")
 
     if args.save_fields:

@@ -1,0 +1,83 @@
+"""Native baseline-JPEG encoding (ctypes over native/jpeg_encode.h).
+
+The frame sinks' compact codec: ~9x faster to encode and ~20x smaller than
+PNG on rendered fluid frames (4:2:0 baseline JFIF at quality 90 is visually
+lossless for this content).  Used by the MJPEG AVI writer (utils/video.py)
+and available to any sink; PNG (utils/png.py) remains the lossless path and
+the fallback when no C++ toolchain is present.
+
+There is deliberately no pure-Python fallback: a Python DCT+Huffman encoder
+would be slower than the PNG writer it is meant to beat.  Callers check
+:func:`native_available` and fall back to PNG.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from cudafluidsimulation_tpu.utils.native_sink import _NATIVE_DIR
+
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libjpegenc.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.jpg_encode.restype = ctypes.c_long
+            lib.jpg_encode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_long,
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def jpeg_bytes(frame: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3|4) uint8 frame as baseline JFIF bytes.
+
+    Raises RuntimeError when the native encoder is unavailable — callers
+    that can degrade should check :func:`native_available` first."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native JPEG encoder unavailable (no toolchain?)")
+    frame = np.ascontiguousarray(frame, dtype=np.uint8)
+    if frame.ndim != 3 or frame.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H, W, 3|4) uint8, got {frame.shape}")
+    if frame.shape[2] == 3:
+        frame = np.concatenate(
+            [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    h, w = frame.shape[:2]
+    cap = w * h * 4 + 4096
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.jpg_encode(frame.tobytes(), w, h, int(quality), buf, cap)
+    if n <= 0:
+        # -needed: capacity miss (only possible for pathological inputs,
+        # where entropy coding expands past the raw size)
+        if n < 0:
+            cap = -int(n)
+            buf = ctypes.create_string_buffer(cap)
+            n = lib.jpg_encode(frame.tobytes(), w, h, int(quality), buf, cap)
+        if n <= 0:
+            raise RuntimeError(f"jpg_encode failed (rc={int(n)})")
+    return buf.raw[:n]

@@ -3,8 +3,8 @@
 // The reference shows the simulation in an OpenGL window (Main.cpp:166-180);
 // this is the headless TPU rebuild's live display: a tiny dependency-free
 // HTTP server that streams the latest frame to any browser as a
-// multipart/x-mixed-replace PNG stream (the MJPEG-stream idiom, with the
-// repo's own PNG encoder instead of JPEG).
+// multipart/x-mixed-replace MJPEG stream (the repo's own baseline-JPEG
+// encoder, jpeg_encode.h; /frame stays PNG for lossless probing).
 //
 // Push is a memcpy: the simulation thread stores the raw RGBA frame and
 // PNG encoding happens lazily in the CLIENT's connection thread (cached per
@@ -54,6 +54,7 @@
 #include <thread>
 #include <vector>
 
+#include "jpeg_encode.h"
 #include "png_encode.h"
 
 namespace {
@@ -122,6 +123,8 @@ struct HttpView {
   uint64_t seq = 0;              // bumps per push
   std::vector<uint8_t> png;      // lazily encoded cache of frame png_seq
   uint64_t png_seq = 0;
+  std::vector<uint8_t> jpg;      // ditto for the (cheaper) stream codec
+  uint64_t jpg_seq = 0;
   bool closing = false;
 
   // latest pointer state from /input (image pixel coords, origin top-left)
@@ -163,9 +166,12 @@ struct HttpView {
     return true;
   }
 
-  // Latest frame as PNG, encoded on the calling (client) thread and cached
-  // per frame seq.  Empty when nothing was pushed yet or we're closing.
-  std::vector<uint8_t> latest_png(uint64_t* out_seq) {
+  // Latest frame as PNG (lossless probe) or JPEG (the stream codec:
+  // ~9x cheaper to encode, ~20x smaller), encoded on the calling (client)
+  // thread and cached per frame seq.  Empty when nothing was pushed yet.
+  std::vector<uint8_t> latest_img(uint64_t* out_seq, bool as_jpeg) {
+    std::vector<uint8_t>& cache = as_jpeg ? jpg : png;
+    uint64_t& cache_seq = as_jpeg ? jpg_seq : png_seq;
     std::vector<uint8_t> raw_copy;
     uint64_t s;
     {
@@ -174,19 +180,21 @@ struct HttpView {
         *out_seq = 0;
         return {};
       }
-      if (png_seq == seq) {
+      if (cache_seq == seq) {
         *out_seq = seq;
-        return png;  // cache hit
+        return cache;  // cache hit
       }
       raw_copy = raw;  // copy out, encode without holding the lock
       s = seq;
     }
-    std::vector<uint8_t> encoded = pngenc::encode_png(raw_copy.data(), w, h);
+    std::vector<uint8_t> encoded =
+        as_jpeg ? jpegenc::encode_jpeg(raw_copy.data(), w, h, 90)
+                : pngenc::encode_png(raw_copy.data(), w, h);
     {
       std::lock_guard<std::mutex> lk(mu);
-      if (s >= png_seq) {  // cache if still the newest encoding
-        png = encoded;
-        png_seq = s;
+      if (s >= cache_seq) {  // cache if still the newest encoding
+        cache = encoded;
+        cache_seq = s;
       }
     }
     *out_seq = s;
@@ -234,7 +242,7 @@ struct HttpView {
       send_str(fd, "HTTP/1.1 204 No Content\r\nConnection: close\r\n\r\n");
     } else if (path == "/frame") {
       uint64_t s;
-      std::vector<uint8_t> data = latest_png(&s);
+      std::vector<uint8_t> data = latest_img(&s, /*as_jpeg=*/false);
       if (data.empty()) {
         send_str(fd, "HTTP/1.1 503 Service Unavailable\r\n"
                      "Content-Length: 0\r\nConnection: close\r\n\r\n");
@@ -267,12 +275,12 @@ struct HttpView {
             if (seq == last_sent) continue;
           }
           uint64_t s;
-          std::vector<uint8_t> data = latest_png(&s);
+          std::vector<uint8_t> data = latest_img(&s, /*as_jpeg=*/true);
           if (data.empty()) continue;
           last_sent = s;
           char part[160];
           snprintf(part, sizeof(part),
-                   "--frame\r\nContent-Type: image/png\r\n"
+                   "--frame\r\nContent-Type: image/jpeg\r\n"
                    "Content-Length: %zu\r\n\r\n",
                    data.size());
           if (!send_str(fd, part) || !send_all(fd, data.data(), data.size()) ||

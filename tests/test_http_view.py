@@ -46,8 +46,12 @@ def test_page_frame_and_stream(force_python):
         assert resp.status == 200
         assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
         hv.push(_frame(seed=2))  # ensure a part is emitted post-connect
-        chunk = resp.fp.read(64)
+        chunk = resp.fp.read(256)
         assert b"--frame" in chunk or b"PNG" in chunk
+        # stream codec: the native server sends MJPEG parts (cheap encode),
+        # the Python fallback sends PNG parts
+        want = b"image/png" if force_python else b"image/jpeg"
+        assert want in chunk
         conn.close()
 
 
