@@ -190,6 +190,18 @@ def main(argv=None) -> int:
             print(f"note: --health is ignored with --view {args.view} "
                   "(the frame loop surfaces failures per frame)")
 
+        # periodic checkpointing works in the frame loop too (long
+        # interactive sessions should survive a crash/Ctrl-C)
+        ckpt_every_view = args.checkpoint_every if args.checkpoint else 0
+        if args.checkpoint_every and not args.checkpoint:
+            print("note: --checkpoint-every needs --checkpoint; ignored")
+
+        def on_frame(state, nframes, _every=ckpt_every_view):
+            if _every and nframes % _every == 0:
+                save_state(args.checkpoint, state)
+
+        on_frame = on_frame if ckpt_every_view > 0 else None
+
         if args.view == "http":
             from cudafluidsimulation_tpu.utils.http_view import HttpViewer
 
@@ -211,7 +223,8 @@ def main(argv=None) -> int:
             try:
                 report = app.run(max_frames=args.steps or None,
                                  pipelined=args.pipelined,
-                                 stop_when=lambda: viewer.quit_requested)
+                                 stop_when=lambda: viewer.quit_requested,
+                                 on_frame=on_frame)
             except KeyboardInterrupt:
                 report = None
             state = app.state
@@ -234,9 +247,16 @@ def main(argv=None) -> int:
                 app = FluidApp(cfg, input_source=tin.source(),
                                frame_sink=viewer, fixed_dt=args.dt)
                 app.state = state
-                report = app.run(max_frames=args.steps or None,
-                                 pipelined=args.pipelined,
-                                 stop_when=lambda: tin.quit)
+                try:
+                    # cbreak keeps ISIG, so Ctrl-C raises here rather than
+                    # reaching TermInput's \x03 handler — the session's
+                    # state must still reach the save/checkpoint flags below
+                    report = app.run(max_frames=args.steps or None,
+                                     pipelined=args.pipelined,
+                                     stop_when=lambda: tin.quit,
+                                     on_frame=on_frame)
+                except KeyboardInterrupt:
+                    report = None
             state = app.state
         else:
             app = FluidApp(cfg, input_source=source,
@@ -244,7 +264,8 @@ def main(argv=None) -> int:
             app.state = state
             try:
                 report = app.run(max_frames=args.steps or None,
-                                 pipelined=args.pipelined)
+                                 pipelined=args.pipelined,
+                                 on_frame=on_frame)
             except KeyboardInterrupt:
                 report = None
             state = app.state
@@ -274,7 +295,7 @@ def main(argv=None) -> int:
     # --mesh: swap the rollout for a shard_map'd one over a device mesh
     # (the multi-chip path the reference never had, SURVEY.md §5); state
     # is sharded in place, frames/fields/checkpoints gather transparently
-    run_fn = sim.run
+    run_fn = sim.jit_run
     if args.mesh != "none":
         ndev = args.mesh_devices or len(jax.devices())
         if args.mesh == "rows":
@@ -337,13 +358,19 @@ def main(argv=None) -> int:
     # compile every segment shape OUTSIDE both the timed loop and the
     # profiler capture: the full segment AND the shorter remainder (a
     # remainder compiling inside the loop would bill a 20s+ remote compile
-    # to Max frame / the trace)
+    # to Max frame / the trace).  AOT lower+compile, and the loop calls the
+    # compiled executables directly — no throwaway segment executions, no
+    # re-trace on first call.
+    compiled = {}
     if seg < n_total:
-        jax.block_until_ready(run_fn(state, Impulse(*(f[:seg] for f in imp))).u)
-        rem = n_total % seg
-        if rem:
-            jax.block_until_ready(
-                run_fn(state, Impulse(*(f[:rem] for f in imp))).u)
+        lengths = {seg, n_total % seg} - {0}
+        for k in lengths:
+            compiled[k] = run_fn.lower(
+                state, Impulse(*(f[:k] for f in imp))).compile()
+
+    def run_segment(st, part):
+        fn = compiled.get(int(part.pressed.shape[0]))
+        return fn(st, part) if fn is not None else run_fn(st, part)
 
     profile_ctx = (jax.profiler.trace(args.profile_dir) if args.profile_dir
                    else contextlib.nullcontext())
@@ -356,7 +383,7 @@ def main(argv=None) -> int:
             end = min(start + seg, n_total)
             part = Impulse(*(f[start:end] for f in imp))
             s0 = time.perf_counter()
-            state = run_fn(state, part)
+            state = run_segment(state, part)
             jax.block_until_ready(state.u)
             seg_stats.append((time.perf_counter() - s0, end - start))
             if collect:

@@ -58,6 +58,8 @@ def replay_source(imp) -> InputSource:
     last = np.asarray(imp.last_pos, np.float32)
     pressed = np.asarray(imp.pressed, bool)
     n = pos.shape[0]
+    if n == 0:
+        raise ValueError("empty impulse script: nothing to replay")
     counter = {"i": 0}
 
     def src(t: float):
@@ -94,7 +96,9 @@ class FluidApp:
     def run(self, seconds: Optional[float] = None,
             max_frames: Optional[int] = None,
             pipelined: bool = False,
-            stop_when: Optional[Callable[[], bool]] = None) -> StageReport:
+            stop_when: Optional[Callable[[], bool]] = None,
+            on_frame: Optional[Callable[[FluidState, int], None]] = None,
+            ) -> StageReport:
         """Run the frame loop.
 
         ``pipelined`` overlaps the next step's dispatch with the previous
@@ -104,6 +108,10 @@ class FluidApp:
 
         ``stop_when`` is polled each frame — the ESC-key analog
         (Main.cpp:215-216); interactive input sources pass their quit flag.
+
+        ``on_frame(state, frame_count)`` is called after each completed
+        frame — the CLI uses it for periodic checkpointing of long
+        interactive sessions.
         """
         t_start = time.perf_counter()
         last_t = t_start
@@ -154,6 +162,8 @@ class FluidApp:
 
             self.frames += 1
             fps_frames += 1
+            if on_frame is not None:
+                on_frame(self.state, self.frames)
             if measured:
                 self.total_compute += compute
                 self.min_compute = min(self.min_compute, compute)

@@ -70,6 +70,12 @@ class Simulation:
     def run(self, state: FluidState, impulses: Impulse) -> FluidState:
         return self._jit_run(state, impulses)
 
+    @property
+    def jit_run(self):
+        """The jitted rollout itself (exposes ``.lower`` for AOT compiles —
+        the CLI precompiles segment shapes without executing them)."""
+        return self._jit_run
+
     def run_steps(self, state: FluidState, steps: int) -> FluidState:
         return self.run(state, no_impulse(steps, self.config.dt))
 
@@ -132,8 +138,13 @@ class Simulation:
                       state: Optional[FluidState] = None) -> StageReport:
         """Out-of-band per-stage breakdown, the analogue of the reference's
         per-stage averages (Main.cpp:195-206).  Each sampled stage matches
-        what the configured pipeline actually runs (variant splat, fused
-        5-channel diffusion, multigrid vs Jacobi).
+        what the configured pipeline actually runs — including its FUSIONS:
+        when the pipeline executes the fused divergence->Jacobi->project op
+        the report shows one "Pressure+Project" bucket (not the unfused
+        passes, whose separate HBM round trips the pipeline no longer pays),
+        and when the splat rides the final diffusion burst the bucket is
+        "Diffuse+Force".  Use ``--report-mode instrumented`` for the
+        decomposed reference-style buckets.
 
         Each stage is timed as ONE jitted ``lax.scan`` of ``iters``
         applications with the stage output threaded back into its input
@@ -153,12 +164,26 @@ class Simulation:
         color = palette[0]
         pos = jnp.asarray([cfg.nx / 2.0, cfg.ny / 2.0], jnp.float32)
 
+        fused_splat = cfg.color_diffusion_enabled and cfg.variant == "gpu"
         if cfg.color_diffusion_enabled:
             coeffs = jnp.asarray(
                 [cfg.velocity_diffusion] * 2 + [cfg.color_diffusion] * 3,
                 jnp.float32,
             )
 
+        if fused_splat:
+            # the pipeline's actual op: splat folded into the last diffusion
+            # burst (pipelines.py diffuse_multi_splat path)
+            amps = jnp.concatenate([jnp.ones((2,), jnp.float32), color])
+
+            def diffuse_body(c, eps):
+                u, v, dye = c
+                all5 = ops.diffuse_multi_splat(
+                    jnp.concatenate([jnp.stack([u, v]), dye]), dt, coeffs,
+                    cfg.diffusion_iters, amps, pos, cfg.splat_radius,
+                )
+                return all5[0], all5[1], all5[2:]
+        elif cfg.color_diffusion_enabled:
             def diffuse_body(c, eps):
                 u, v, dye = c
                 all5 = ops.diffuse_multi(
@@ -206,6 +231,13 @@ class Simulation:
             p2 = solve(ops.divergence(u + eps * p, v, cfg.half_divergence))
             return u, v, p2
 
+        def pressure_project_body(c, eps):
+            # the pipeline's actual op on the Jacobi path: fused
+            # divergence -> burst solve -> gradient subtraction
+            u, v, p = c
+            return ops.pressure_project(u + eps * p, v, cfg.pressure_iters,
+                                        cfg.half_divergence)
+
         def project_body(c, eps):
             u, v, p = c
             u2, v2 = ops.project(u, v, p)
@@ -219,12 +251,18 @@ class Simulation:
         stages = {
             "Advect": (advect_body, (u, v, dye)),
             "Vorticity": (vorticity_body, (u, v)),
-            "Diffuse": (diffuse_body, (u, v, dye)),
-            "Force": (force_body, (u, v, dye)),
-            "Pressure": (pressure_body, (u, v, p)),
-            "Project": (project_body, (u, v, p)),
-            "Paint": (paint_body, (dye, jnp.zeros((1, 1), jnp.float32))),
         }
+        if fused_splat:
+            stages["Diffuse+Force"] = (diffuse_body, (u, v, dye))
+        else:
+            stages["Diffuse"] = (diffuse_body, (u, v, dye))
+            stages["Force"] = (force_body, (u, v, dye))
+        if cfg.pressure_solver == "multigrid":
+            stages["Pressure"] = (pressure_body, (u, v, p))
+            stages["Project"] = (project_body, (u, v, p))
+        else:
+            stages["Pressure+Project"] = (pressure_project_body, (u, v, p))
+        stages["Paint"] = (paint_body, (dye, jnp.zeros((1, 1), jnp.float32)))
         if cfg.bloom_enabled:
             def bloom_body(rgba, eps):
                 return ops.apply_bloom(rgba, pos, cfg.bloom_intense,

@@ -39,6 +39,41 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
+# The ONE canonical "/" page, served by BOTH server backends (pushed into
+# the native server via hv_set_page): live stream <img> + pointer-capture
+# JS that posts drags back to /input (image pixel coords; q quits) — the
+# reference's mouse capture (Main.cpp:213-243), browser edition.
+PAGE_HTML = (
+    b"<!doctype html><html><head><title>tpu-stable-fluids</title>"
+    b"<style>body{background:#111;color:#ddd;font-family:monospace;"
+    b"text-align:center}img{image-rendering:pixelated;margin-top:1em;"
+    b"max-width:96vw;max-height:88vh;touch-action:none;cursor:crosshair}"
+    b"</style></head><body>"
+    b"<div>tpu-stable-fluids &mdash; live "
+    b"(drag to splat &middot; q quits)</div>"
+    b"<img id='v' src='/stream' alt='live stream' draggable='false'>"
+    b"<script>"
+    b"var img=document.getElementById('v'),down=false,px=0,py=0,"
+    b"dirty=false;"
+    b"function upd(e){var r=img.getBoundingClientRect();"
+    b"px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;"
+    b"py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;"
+    b"dirty=true;}"
+    b"function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+"
+    b"py.toFixed(2)+'&p='+p+(q?'&q=1':''));}"
+    b"img.addEventListener('pointerdown',function(e){down=true;"
+    b"img.setPointerCapture(e.pointerId);upd(e);send(1,0);"
+    b"e.preventDefault();});"
+    b"img.addEventListener('pointermove',function(e){"
+    b"if(down)upd(e);});"
+    b"window.addEventListener('pointerup',function(e){if(down){"
+    b"down=false;upd(e);send(0,0);}});"
+    b"setInterval(function(){if(down&&dirty){dirty=false;"
+    b"send(1,0);}},33);"
+    b"window.addEventListener('keydown',function(e){"
+    b"if(e.key==='q')send(0,1);});"
+    b"</script></body></html>")
+
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
@@ -54,6 +89,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.hv_port.restype = ctypes.c_int
             lib.hv_port.argtypes = [ctypes.c_void_p]
             lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.hv_set_page.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
             lib.hv_input.restype = ctypes.c_uint64
             lib.hv_input.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -102,34 +138,7 @@ class _PyHttpView:
         view._input_seq = 0
         view._quit = False
 
-        page = (b"<!doctype html><html><head><title>tpu-stable-fluids"
-                b"</title></head><body style='background:#111;color:#ddd;"
-                b"text-align:center;font-family:monospace'>"
-                b"<div>tpu-stable-fluids &mdash; live "
-                b"(drag to splat &middot; q quits)</div>"
-                b"<img id='v' src='/stream' alt='live stream' "
-                b"draggable='false' style='touch-action:none'>"
-                b"<script>"
-                b"var img=document.getElementById('v'),down=false,px=0,py=0,"
-                b"dirty=false;"
-                b"function upd(e){var r=img.getBoundingClientRect();"
-                b"px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;"
-                b"py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;"
-                b"dirty=true;}"
-                b"function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+"
-                b"py.toFixed(2)+'&p='+p+(q?'&q=1':''));}"
-                b"img.addEventListener('pointerdown',function(e){down=true;"
-                b"img.setPointerCapture(e.pointerId);upd(e);send(1,0);"
-                b"e.preventDefault();});"
-                b"img.addEventListener('pointermove',function(e){"
-                b"if(down)upd(e);});"
-                b"window.addEventListener('pointerup',function(e){if(down){"
-                b"down=false;upd(e);send(0,0);}});"
-                b"setInterval(function(){if(down&&dirty){dirty=false;"
-                b"send(1,0);}},33);"
-                b"window.addEventListener('keydown',function(e){"
-                b"if(e.key==='q')send(0,1);});"
-                b"</script></body></html>")
+        page = PAGE_HTML  # ONE canonical page for both backends
 
         def latest_png():
             """Encode-on-demand with a per-seq cache (see native server)."""
@@ -290,6 +299,8 @@ class HttpViewer:
             self._lib.hv_close(self._handle)  # bind failed
             self._handle = None
             self._py = _PyHttpView(port, self._w, self._h)
+        else:
+            self._lib.hv_set_page(self._handle, PAGE_HTML)
 
     @property
     def port(self) -> int:

@@ -132,14 +132,31 @@ class TermInput:
                     self.pressed = final == b"M"
                     i += end + 1
                     continue
-                if len(seq) >= 3 and seq[1:2] == b"[" and seq[2:3] in _ARROWS:
+                if (len(seq) >= 3 and seq[1:2] in (b"[", b"O")
+                        and seq[2:3] in _ARROWS):  # CSI or SS3 arrows
                     dx, dy = _ARROWS[seq[2:3]]
                     self._nudge(dx, dy)
                     i += 3
                     continue
                 if len(seq) < 3:
                     break  # possibly incomplete: keep
-                i += 1  # unknown escape: skip the ESC and resync
+                if seq[1:2] == b"[":
+                    # unknown CSI (ctrl-arrows, terminal replies, ...):
+                    # consume THROUGH its final byte (0x40-0x7E) so the
+                    # parameter bytes are not replayed as WASD/quit keys
+                    end = -1
+                    for j in range(2, min(len(seq), 24)):
+                        if 0x40 <= seq[j] <= 0x7E:
+                            end = j
+                            break
+                    if end < 0:
+                        if len(seq) >= 24:
+                            i += 1  # garbage: skip the ESC and resync
+                            continue
+                        break  # genuinely incomplete: keep for next feed
+                    i += end + 1
+                    continue
+                i += 2  # other escape (alt-key, ESC O ...): skip both bytes
                 continue
             if c in (b"q", b"Q", b"\x03"):
                 self.quit = True

@@ -25,6 +25,8 @@
 // C ABI (used from Python via ctypes):
 //   hv_open(port, w, h) -> handle   (port 0 = ephemeral; see hv_port)
 //   hv_port(handle)                 actual bound port, 0 on bind failure
+//   hv_set_page(handle, html)       override the "/" page (the canonical
+//                                   page lives in utils/http_view.py)
 //   hv_push(handle, rgba_ptr)       publish a frame (copy + notify)
 //   hv_input(handle, &x, &y, &p)    latest pointer state; returns input seq
 //                                   (0 = no input ever received)
@@ -59,30 +61,14 @@
 
 namespace {
 
+// Minimal fallback page only: the canonical page (stream + pointer-capture
+// JS posting to /input) is owned by utils/http_view.py PAGE_HTML and pushed
+// in via hv_set_page at open — ONE copy serves both server backends.
 const char* kPage =
-    "<!doctype html><html><head><title>tpu-stable-fluids</title>"
-    "<style>body{background:#111;color:#ddd;font-family:monospace;"
-    "text-align:center}img{image-rendering:pixelated;margin-top:1em;"
-    "max-width:96vw;max-height:88vh;touch-action:none;cursor:crosshair}"
-    "</style></head><body>"
-    "<div>tpu-stable-fluids &mdash; live (drag to splat &middot; q quits)</div>"
-    "<img id=\"v\" src=\"/stream\" alt=\"live stream\" draggable=\"false\">"
-    "<script>\n"
-    "var img=document.getElementById('v'),down=false,px=0,py=0,dirty=false;\n"
-    "function upd(e){var r=img.getBoundingClientRect();\n"
-    " px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;\n"
-    " py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;\n"
-    " dirty=true;}\n"
-    "function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+py.toFixed(2)+\n"
-    " '&p='+p+(q?'&q=1':''));}\n"
-    "img.addEventListener('pointerdown',function(e){down=true;\n"
-    " img.setPointerCapture(e.pointerId);upd(e);send(1,0);e.preventDefault();});\n"
-    "img.addEventListener('pointermove',function(e){if(down)upd(e);});\n"
-    "window.addEventListener('pointerup',function(e){if(down){down=false;\n"
-    " upd(e);send(0,0);}});\n"
-    "setInterval(function(){if(down&&dirty){dirty=false;send(1,0);}},33);\n"
-    "window.addEventListener('keydown',function(e){if(e.key==='q')send(0,1);});\n"
-    "</script></body></html>";
+    "<!doctype html><html><head><title>tpu-stable-fluids</title></head>"
+    "<body style=\"background:#111;color:#ddd;text-align:center;"
+    "font-family:monospace\"><div>tpu-stable-fluids &mdash; live</div>"
+    "<img src=\"/stream\" alt=\"live stream\"></body></html>";
 
 // value of ?key= in a request path, false when absent
 bool query_val(const std::string& path, const char* key, double* out) {
@@ -126,6 +112,8 @@ struct HttpView {
   std::vector<uint8_t> jpg;      // ditto for the (cheaper) stream codec
   uint64_t jpg_seq = 0;
   bool closing = false;
+
+  std::string page;  // hv_set_page override; empty = kPage fallback
 
   // latest pointer state from /input (image pixel coords, origin top-left)
   float in_x = 0.0f, in_y = 0.0f;
@@ -219,13 +207,18 @@ struct HttpView {
     }
 
     if (path == "/") {
+      std::string body;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        body = page.empty() ? std::string(kPage) : page;
+      }
       char head[256];
       snprintf(head, sizeof(head),
                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                "Content-Length: %zu\r\nConnection: close\r\n\r\n",
-               strlen(kPage));
+               body.size());
       send_str(fd, head);
-      send_str(fd, kPage);
+      send_str(fd, body);
     } else if (path.rfind("/input", 0) == 0 &&
                (path.size() == 6 || path[6] == '?')) {
       double x, y, p, q;
@@ -294,11 +287,17 @@ struct HttpView {
                    "Connection: close\r\n\r\n");
     }
 
-    ::close(fd);
     {
+      // remove from conn_fds BEFORE closing: once closed, the fd number can
+      // be recycled by any other thread in the process, and hv_close's
+      // shutdown() sweep must never touch a recycled descriptor
       std::lock_guard<std::mutex> lk(conns_mu);
       conn_fds.erase(std::remove(conn_fds.begin(), conn_fds.end(), fd),
                      conn_fds.end());
+    }
+    ::close(fd);
+    {
+      std::lock_guard<std::mutex> lk(conns_mu);
       active--;
     }
     conns_cv.notify_all();
@@ -357,6 +356,12 @@ void hv_push(void* handle, const uint8_t* rgba) {
   }
   s->frames++;
   s->cv.notify_all();
+}
+
+void hv_set_page(void* handle, const char* html) {
+  auto* s = static_cast<HttpView*>(handle);
+  std::lock_guard<std::mutex> lk(s->mu);
+  s->page = html ? html : "";
 }
 
 uint64_t hv_input(void* handle, float* x, float* y, int* pressed) {

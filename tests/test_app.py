@@ -44,6 +44,38 @@ def test_app_with_native_sink(tmp_path):
         assert sink.written + sink.dropped == 5
 
 
+def test_app_on_frame_hook_periodic_checkpoint(tmp_path):
+    """The per-frame hook fires with the live state — the CLI's
+    --checkpoint-every wiring for interactive sessions."""
+    from cudafluidsimulation_tpu.utils.checkpoint import load_state, save_state
+
+    cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
+                                    diffusion_iters=2, pressure_iters=2)
+    path = str(tmp_path / "ck.npz")
+    seen = []
+
+    def on_frame(state, n):
+        seen.append(n)
+        if n % 2 == 0:
+            save_state(path, state)
+
+    app = FluidApp(cfg, fixed_dt=1 / 60)
+    app.run(max_frames=5, on_frame=on_frame)
+    assert seen == [1, 2, 3, 4, 5]
+    st = load_state(path)
+    assert int(st.step) == 4  # last periodic save, not the final frame
+
+
+def test_replay_source_rejects_empty_script():
+    from cudafluidsimulation_tpu.models.app import replay_source
+    from cudafluidsimulation_tpu.utils.impulse import no_impulse
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty impulse script"):
+        replay_source(no_impulse(0, 1 / 60))
+
+
 def test_app_pipelined_mode():
     cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref",
                                     diffusion_iters=2, pressure_iters=2)

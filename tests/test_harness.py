@@ -104,14 +104,24 @@ def test_cli_headless(tmp_path):
 
 
 def test_stage_timing_report():
+    # gpu variant runs the FUSED ops (splat in the last diffusion burst,
+    # divergence/project in the pressure bursts); the sampled report shows
+    # the same fused buckets the pipeline pays for
     cfg = FluidConfig.gpu_reference(nx=64, ny=64, backend="ref")
     sim = Simulation(cfg)
     rep = sim.stage_timings(iters=2)
-    for name in ("Advect", "Vorticity", "Diffuse", "Force", "Pressure",
-                 "Project", "Paint", "Bloom"):
+    for name in ("Advect", "Vorticity", "Diffuse+Force", "Pressure+Project",
+                 "Paint", "Bloom"):
         assert name in rep.stage_ms
+    assert "Force" not in rep.stage_ms and "Project" not in rep.stage_ms
     text = rep.format()
     assert "SIMULATION END" in text
+
+    # cpu variant: no fused splat (splat_cpu geometry), decomposed buckets
+    cfg2 = FluidConfig.cpu_reference(nx=64, ny=64)
+    rep2 = Simulation(cfg2).stage_timings(iters=2)
+    for name in ("Diffuse", "Force", "Pressure+Project"):
+        assert name in rep2.stage_ms
 
 
 def test_apng_writer(tmp_path, rng):

@@ -103,6 +103,31 @@ def test_app_integration_with_scripted_bytes():
     assert app.frames == frames_before
 
 
+def test_unknown_csi_consumed_through_final_byte():
+    """Unrecognized CSI sequences (ctrl-arrows, terminal replies) must be
+    swallowed whole — their parameter/final bytes must not replay as WASD
+    moves or quit keys."""
+    t = make()
+    p0 = t.pos
+    t.feed(b"\x1b[1;5D")  # ctrl-left: 'D' is the CSI final, NOT a nudge
+    assert t.pos == p0 and not t.quit
+    t.feed(b"\x1b[0q")  # DECLL reply: 'q' is the CSI final, NOT quit
+    assert not t.quit
+    t.feed(b"\x1b[6n")  # cursor-position query echo
+    assert t.pos == p0 and not t.quit and not t.pressed
+    t.feed(b"q")  # a REAL quit keypress still works afterwards
+    assert t.quit
+
+
+def test_ss3_arrows_and_alt_keys():
+    t = make()
+    y0 = t.pos[1]
+    t.feed(b"\x1bOA")  # SS3 up-arrow (application cursor mode)
+    assert t.pos[1] > y0
+    t.feed(b"\x1bq")  # alt-q: swallowed as an escape pair, not quit
+    assert not t.quit
+
+
 def test_unterminated_sgr_prefix_resyncs():
     """Garbage starting with the SGR prefix (e.g. a bracketed paste) must not
     wedge the parser: later keys and real mouse events still work."""
