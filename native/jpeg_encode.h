@@ -137,37 +137,66 @@ inline int bit_category(int v) {
   return n;
 }
 
-// forward 8x8 DCT, separable float (clarity over speed; the sinks are async)
+// AAN (Arai-Agui-Nakajima) fast forward 8x8 DCT: 5 multiplies / 29 adds
+// per 1-D pass (the jfdctflt factorization every libjpeg ships).  Output is
+// SCALED by 8*aan[r]*aan[c] relative to the orthonormal DCT; the scale is
+// folded into the quantization reciprocals (make_recip), costing nothing.
+inline void fdct8x8_aan_1d(float* d, int stride) {
+  float d0 = d[0 * stride], d1 = d[1 * stride], d2 = d[2 * stride],
+        d3 = d[3 * stride], d4 = d[4 * stride], d5 = d[5 * stride],
+        d6 = d[6 * stride], d7 = d[7 * stride];
+  float tmp0 = d0 + d7, tmp7 = d0 - d7;
+  float tmp1 = d1 + d6, tmp6 = d1 - d6;
+  float tmp2 = d2 + d5, tmp5 = d2 - d5;
+  float tmp3 = d3 + d4, tmp4 = d3 - d4;
+
+  float tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  float tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+  d[0 * stride] = tmp10 + tmp11;
+  d[4 * stride] = tmp10 - tmp11;
+  float z1 = (tmp12 + tmp13) * 0.707106781f;
+  d[2 * stride] = tmp13 + z1;
+  d[6 * stride] = tmp13 - z1;
+
+  tmp10 = tmp4 + tmp5;
+  tmp11 = tmp5 + tmp6;
+  tmp12 = tmp6 + tmp7;
+  float z5 = (tmp10 - tmp12) * 0.382683433f;
+  float z2 = 0.541196100f * tmp10 + z5;
+  float z4 = 1.306562965f * tmp12 + z5;
+  float z3 = tmp11 * 0.707106781f;
+  float z11 = tmp7 + z3, z13 = tmp7 - z3;
+  d[5 * stride] = z13 + z2;
+  d[3 * stride] = z13 - z2;
+  d[1 * stride] = z11 + z4;
+  d[7 * stride] = z11 - z4;
+}
+
 inline void fdct8x8(float blk[64]) {
-  static float cs[8][8];
-  static bool init = false;
-  if (!init) {
-    for (int k = 0; k < 8; ++k)
-      for (int n = 0; n < 8; ++n)
-        cs[k][n] = float(std::cos((2 * n + 1) * k * 3.14159265358979323846 / 16.0));
-    init = true;
-  }
-  float tmp[64];
-  for (int y = 0; y < 8; ++y)  // rows
-    for (int k = 0; k < 8; ++k) {
-      float s = 0;
-      for (int n = 0; n < 8; ++n) s += blk[y * 8 + n] * cs[k][n];
-      tmp[y * 8 + k] = s * (k == 0 ? 0.353553390593f : 0.5f);  // sqrt(1/8), sqrt(2/8)
-    }
-  for (int x = 0; x < 8; ++x)  // cols
-    for (int k = 0; k < 8; ++k) {
-      float s = 0;
-      for (int n = 0; n < 8; ++n) s += tmp[n * 8 + x] * cs[k][n];
-      blk[k * 8 + x] = s * (k == 0 ? 0.353553390593f : 0.5f);
+  for (int y = 0; y < 8; ++y) fdct8x8_aan_1d(blk + y * 8, 1);  // rows
+  for (int x = 0; x < 8; ++x) fdct8x8_aan_1d(blk + x, 8);      // cols
+}
+
+// reciprocal quantization divisors with the AAN output scaling folded in:
+// recip[i] = 1 / (q[i] * 8 * aan[row] * aan[col])
+inline void make_recip(const uint16_t q[64], float recip[64]) {
+  static const float aan[8] = {1.0f,         1.387039845f, 1.306562965f,
+                               1.175875602f, 1.0f,         0.785694958f,
+                               0.541196100f, 0.275899379f};
+  for (int r = 0; r < 8; ++r)
+    for (int c = 0; c < 8; ++c) {
+      int i = r * 8 + c;
+      recip[i] = 1.0f / (float(q[i]) * 8.0f * aan[r] * aan[c]);
     }
 }
 
 // quantize + zigzag + entropy-code one block; returns the new DC predictor
-inline int encode_block(BitWriter& bw, const float blk[64], const uint16_t q[64],
-                        const HuffTable& dc, const HuffTable& ac, int prev_dc) {
+inline int encode_block(BitWriter& bw, const float blk[64],
+                        const float recip[64], const HuffTable& dc,
+                        const HuffTable& ac, int prev_dc) {
   int zz[64];
   for (int i = 0; i < 64; ++i) {
-    float v = blk[kZigzag[i]] / float(q[kZigzag[i]]);
+    float v = blk[kZigzag[i]] * recip[kZigzag[i]];
     zz[i] = int(v < 0 ? v - 0.5f : v + 0.5f);
   }
   int diff = zz[0] - prev_dc;
@@ -226,6 +255,10 @@ inline std::vector<uint8_t> encode_jpeg(const uint8_t* rgba, int w, int h,
     qlum[i] = uint16_t(l < 1 ? 1 : (l > 255 ? 255 : l));
     qchr[i] = uint16_t(c < 1 ? 1 : (c > 255 ? 255 : c));
   }
+
+  float rlum[64], rchr[64];
+  make_recip(qlum, rlum);
+  make_recip(qchr, rchr);
 
   HuffTable dc_lum, ac_lum, dc_chr, ac_chr;
   dc_lum.build(kDcLumBits, kDcLumVals);
@@ -308,14 +341,14 @@ inline std::vector<uint8_t> encode_jpeg(const uint8_t* rgba, int w, int h,
         for (int y = 0; y < 8; ++y)
           for (int x = 0; x < 8; ++x) blk[y * 8 + x] = Y[(oy + y) * 16 + ox + x];
         fdct8x8(blk);
-        dcY = encode_block(bw, blk, qlum, dc_lum, ac_lum, dcY);
+        dcY = encode_block(bw, blk, rlum, dc_lum, ac_lum, dcY);
       }
       std::memcpy(blk, Cb, sizeof(blk));
       fdct8x8(blk);
-      dcCb = encode_block(bw, blk, qchr, dc_chr, ac_chr, dcCb);
+      dcCb = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCb);
       std::memcpy(blk, Cr, sizeof(blk));
       fdct8x8(blk);
-      dcCr = encode_block(bw, blk, qchr, dc_chr, ac_chr, dcCr);
+      dcCr = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCr);
     }
   }
   bw.flush();
