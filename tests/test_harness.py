@@ -363,6 +363,46 @@ def test_jpeg_matches_source_on_gradient():
     assert rmse < 3.0, rmse
 
 
+def test_jpeg_fuzz_sizes_and_qualities(rng):
+    """Encoder edge coverage: non-multiple-of-16 dims (partial MCUs with
+    edge replication), extreme aspect ratios, 1x1, quality extremes — every
+    stream must parse in a real decoder at the exact declared size."""
+    from cudafluidsimulation_tpu.utils import jpeg
+
+    if not jpeg.native_available():
+        pytest.skip("no native toolchain")
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no PIL to decode")
+
+    for (h, w) in [(1, 1), (7, 9), (16, 16), (17, 23), (100, 3), (3, 100),
+                   (33, 48)]:
+        for q in (1, 50, 100):
+            img = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+            img[: max(1, h // 2)] = np.linspace(
+                0, 255, w, dtype=np.uint8)[None, :, None]
+            data = jpeg.jpeg_bytes(img, quality=q)
+            dec = Image.open(io.BytesIO(data))
+            assert dec.size == (w, h), (h, w, q)
+            arr = np.asarray(dec.convert("RGB"), np.float32)
+            ref = img[..., :3].astype(np.float32)
+            if q >= 50:
+                # distortion must track a REAL encoder at the same settings
+                # (absolute thresholds are meaningless when noise rows share
+                # a DCT block with the smooth ones on tiny images)
+                b = io.BytesIO()
+                Image.fromarray(img[..., :3]).save(
+                    b, "JPEG", quality=q, subsampling=2)
+                libarr = np.asarray(Image.open(
+                    io.BytesIO(b.getvalue())).convert("RGB"), np.float32)
+                ours = float(np.sqrt(((arr - ref) ** 2).mean()))
+                theirs = float(np.sqrt(((libarr - ref) ** 2).mean()))
+                assert ours <= theirs * 1.3 + 2.0, (h, w, q, ours, theirs)
+
+
 def test_cli_video(tmp_path):
     from cudafluidsimulation_tpu.cli import main
 
