@@ -20,6 +20,14 @@ import numpy as np
 
 
 def main():
+    # Pin the platform BEFORE any jax.devices() probe: the first backend
+    # touch latches platform selection, so a later config update is a no-op
+    # (and a CPU mesh + default-TPU arrays fails with a cross-platform
+    # transfer — see __graft_entry__.dryrun_multichip).  On a real 8-chip
+    # slice run with CUDAFLUIDSIM_MESH_PLATFORM=tpu.
+    platform = os.environ.get("CUDAFLUIDSIM_MESH_PLATFORM", "cpu")
+    jax.config.update("jax_platforms", platform)
+
     from cudafluidsimulation_tpu import FluidConfig, init_state
     from cudafluidsimulation_tpu.parallel.halo import measure_halo_traffic
     from cudafluidsimulation_tpu.parallel.shardmap2d import (
@@ -31,8 +39,6 @@ def main():
     from cudafluidsimulation_tpu.utils.impulse import orbit_impulse
 
     devs = jax.devices()
-    if len(devs) < 8:
-        devs = jax.devices("cpu")
     mesh = make_mesh2d(2, 4, devices=devs)
     print(f"mesh: 2x4 over {devs[0].platform} devices")
 
