@@ -403,6 +403,51 @@ def test_jpeg_fuzz_sizes_and_qualities(rng):
                 assert ours <= theirs * 1.3 + 2.0, (h, w, q, ours, theirs)
 
 
+def test_cli_http_interactive(tmp_path):
+    """--view http --interactive end-to-end: a 'browser' posts a press to
+    /input (dye must appear), then q — the run exits cleanly and the final
+    state lands in --save-fields."""
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    from cudafluidsimulation_tpu.cli import main
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    fields = tmp_path / "f.npz"
+    rc = {}
+
+    def run():
+        rc["v"] = main([
+            "--grid", "64", "--steps", "0", "--view", "http",
+            "--interactive", "--http-port", str(port), "--backend", "ref",
+            "--diffusion-iters", "2", "--pressure-iters", "2",
+            "--save-fields", str(fields),
+        ])
+
+    t = threading.Thread(target=run)
+    t.start()
+    base = f"http://localhost:{port}/"
+    for _ in range(150):  # wait for the server + first frame
+        try:
+            urllib.request.urlopen(base + "frame", timeout=2)
+            break
+        except Exception:
+            time.sleep(0.2)
+    urllib.request.urlopen(base + "input?x=32&y=32&p=1", timeout=5)
+    time.sleep(1.0)  # a few pressed frames
+    urllib.request.urlopen(base + "input?x=32&y=32&p=0&q=1", timeout=5)
+    t.join(timeout=90)
+    assert not t.is_alive(), "CLI did not exit on browser q"
+    assert rc["v"] == 0
+    with np.load(fields) as d:
+        assert np.abs(d["dye"]).max() > 0  # the posted press splatted dye
+
+
 def test_cli_video(tmp_path):
     from cudafluidsimulation_tpu.cli import main
 

@@ -57,6 +57,18 @@ def test_page_frame_and_stream(force_python):
 
 @pytest.mark.parametrize("force_python",
                          [False, True] if native_available() else [True])
+def test_both_backends_serve_the_canonical_page(force_python):
+    """ONE page definition (http_view.PAGE_HTML) serves '/' on both the
+    native server (via hv_set_page) and the Python fallback — no drift."""
+    from cudafluidsimulation_tpu.utils.http_view import PAGE_HTML
+
+    with HttpViewer(width=8, height=8, force_python=force_python) as hv:
+        _, _, body = _get(hv.url)
+        assert body == PAGE_HTML
+
+
+@pytest.mark.parametrize("force_python",
+                         [False, True] if native_available() else [True])
 def test_input_route_and_source(force_python):
     """Browser pointer input: /input updates poll_input(), the InputSource
     maps image pixels to (y-flipped) grid coords, q requests quit."""
