@@ -43,9 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the collected frames as one animated PNG")
     p.add_argument("--apng-fps", type=float, default=30.0)
     p.add_argument("--video", default="",
-                   help="write the collected frames as an AVI (MJPEG when "
-                   "the native encoder is available, else uncompressed RGB; "
-                   "plays in VLC/mpv/ffmpeg — no dependencies)")
+                   help="write an AVI (MJPEG when the native encoder is "
+                   "available, else uncompressed RGB; plays in VLC/mpv/"
+                   "ffmpeg — no dependencies): headless runs write the "
+                   "collected frames, --view runs record the live session "
+                   "frame by frame")
     p.add_argument("--video-fps", type=float, default=30.0)
     p.add_argument("--video-codec", choices=["auto", "mjpeg", "rgb"],
                    default="auto",
@@ -182,7 +184,7 @@ def main(argv=None) -> int:
                 return _c, _c, False
 
         for flag, name in [(args.frames_dir, "--frames-dir"),
-                           (args.apng, "--apng"), (args.video, "--video")]:
+                           (args.apng, "--apng")]:
             if flag:
                 print(f"note: {name} is ignored with --view {args.view} "
                       "(frames go to the live view)")
@@ -213,12 +215,32 @@ def main(argv=None) -> int:
 
             viewer = TermViewer()
 
+        # --video records the live session: the AVI writer streams each
+        # frame to disk (flat memory), so a tee costs one encode per frame.
+        # Wall-clock pacing varies in a live loop; the file plays back at
+        # the fixed --video-fps.
+        avi = None
+        sink = viewer
+        if args.video:
+            from cudafluidsimulation_tpu.utils.jpeg import native_available
+            from cudafluidsimulation_tpu.utils.video import AviWriter
+
+            codec = args.video_codec
+            if codec == "auto":
+                codec = "mjpeg" if native_available() else "rgb"
+            avi = AviWriter(args.video, nx, ny, fps=args.video_fps,
+                            codec=codec, quality=args.video_quality)
+
+            def sink(frame, _v=viewer, _a=avi):
+                _v(frame)
+                _a.add(frame)
+
         if args.interactive and args.view == "http":
             # live input FROM the browser page itself: the stream page posts
             # pointer drags back to /input, the source polls them per frame
             # (Main.cpp:213-243, browser edition)
             app = FluidApp(cfg, input_source=viewer.input_source(nx, ny),
-                           frame_sink=viewer, fixed_dt=args.dt)
+                           frame_sink=sink, fixed_dt=args.dt)
             app.state = state
             try:
                 report = app.run(max_frames=args.steps or None,
@@ -245,7 +267,7 @@ def main(argv=None) -> int:
             tin = TermInput(nx, ny, cols, rows)
             with tin:
                 app = FluidApp(cfg, input_source=tin.source(),
-                               frame_sink=viewer, fixed_dt=args.dt)
+                               frame_sink=sink, fixed_dt=args.dt)
                 app.state = state
                 try:
                     # cbreak keeps ISIG, so Ctrl-C raises here rather than
@@ -260,7 +282,7 @@ def main(argv=None) -> int:
             state = app.state
         else:
             app = FluidApp(cfg, input_source=source,
-                           frame_sink=viewer, fixed_dt=args.dt)
+                           frame_sink=sink, fixed_dt=args.dt)
             app.state = state
             try:
                 report = app.run(max_frames=args.steps or None,
@@ -271,6 +293,10 @@ def main(argv=None) -> int:
             state = app.state
         if args.view == "http":
             viewer.close()
+        if avi is not None:
+            avi.close()
+            print(f"recorded {app.frames}-frame {avi.codec.upper()} AVI of "
+                  f"the session to {args.video}")
         if args.save_fields:
             np.savez_compressed(
                 args.save_fields,

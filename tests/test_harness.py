@@ -214,6 +214,27 @@ def test_cli_term_view_honors_impulse_file(tmp_path, capsys):
         assert np.abs(d["dye"][:, 28:36, 28:36]).max() > 0.1
 
 
+def test_cli_view_records_video(tmp_path, capsys):
+    """--video composes with --view: the live session streams to an AVI
+    (every frame, not --frame-every sampling)."""
+    import struct
+
+    from cudafluidsimulation_tpu.cli import main
+
+    out = tmp_path / "session.avi"
+    rc = main(["--grid", "64", "--steps", "8", "--backend", "ref",
+               "--view", "term", "--impulse", "center",
+               "--video", str(out), "--video-codec", "rgb",
+               "--diffusion-iters", "2", "--pressure-iters", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF"
+    avih = data.index(b"avih") + 8
+    n_frames = struct.unpack("<14I", data[avih:avih + 56])[4]
+    assert n_frames == 8  # one chunk per live frame
+
+
 def test_cli_health_segments(tmp_path, capsys):
     from cudafluidsimulation_tpu.cli import main
 
