@@ -125,6 +125,8 @@ def main(argv=None) -> int:
     from cudafluidsimulation_tpu.utils.png import write_png
     from cudafluidsimulation_tpu.utils.timing import StageReport
 
+    if args.checkpoint_every < 0:
+        raise SystemExit("--checkpoint-every must be >= 0")
     nx = args.nx or args.grid
     ny = args.ny or args.grid
     maker = FluidConfig.cpu_reference if args.variant == "cpu" else FluidConfig.gpu_reference
@@ -222,14 +224,11 @@ def main(argv=None) -> int:
         avi = None
         sink = viewer
         if args.video:
-            from cudafluidsimulation_tpu.utils.jpeg import native_available
             from cudafluidsimulation_tpu.utils.video import AviWriter
 
-            codec = args.video_codec
-            if codec == "auto":
-                codec = "mjpeg" if native_available() else "rgb"
             avi = AviWriter(args.video, nx, ny, fps=args.video_fps,
-                            codec=codec, quality=args.video_quality)
+                            codec=args.video_codec,
+                            quality=args.video_quality)
 
             def sink(frame, _v=viewer, _a=avi):
                 _v(frame)
@@ -363,8 +362,6 @@ def main(argv=None) -> int:
         raise SystemExit("nothing to run: --steps 0 (or an empty impulse "
                          "script) collects no frames")
     ckpt_every = args.checkpoint_every if args.checkpoint else 0
-    if ckpt_every < 0:
-        raise SystemExit("--checkpoint-every must be >= 0")
     if args.checkpoint_every and not args.checkpoint:
         print("note: --checkpoint-every needs --checkpoint; ignored")
     if collect:

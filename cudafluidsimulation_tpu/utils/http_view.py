@@ -25,19 +25,12 @@ Usage: CLI ``--view http [--http-port N] [--interactive]``, or::
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from typing import Optional
 
 import numpy as np
 
-from cudafluidsimulation_tpu.utils.native_sink import _NATIVE_DIR
-
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libhttpview.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+from cudafluidsimulation_tpu.utils.native_sink import load_native_lib
 
 # The ONE canonical "/" page, served by BOTH server backends (pushed into
 # the native server via hv_set_page): live stream <img> + pointer-capture
@@ -53,12 +46,10 @@ PAGE_HTML = (
     b"(drag to splat &middot; q quits)</div>"
     b"<img id='v' src='/stream' alt='live stream' draggable='false'>"
     b"<script>"
-    b"var img=document.getElementById('v'),down=false,px=0,py=0,"
-    b"dirty=false;"
+    b"var img=document.getElementById('v'),down=false,px=0,py=0;"
     b"function upd(e){var r=img.getBoundingClientRect();"
     b"px=(e.clientX-r.left)*(img.naturalWidth||r.width)/r.width;"
-    b"py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;"
-    b"dirty=true;}"
+    b"py=(e.clientY-r.top)*(img.naturalHeight||r.height)/r.height;}"
     b"function send(p,q){fetch('/input?x='+px.toFixed(2)+'&y='+"
     b"py.toFixed(2)+'&p='+p+(q?'&q=1':''));}"
     b"img.addEventListener('pointerdown',function(e){down=true;"
@@ -68,44 +59,35 @@ PAGE_HTML = (
     b"if(down)upd(e);});"
     b"window.addEventListener('pointerup',function(e){if(down){"
     b"down=false;upd(e);send(0,0);}});"
-    b"setInterval(function(){if(down&&dirty){dirty=false;"
-    b"send(1,0);}},33);"
+    b"setInterval(function(){if(down)send(1,0);},33);"  # hold keepalive
     b"window.addEventListener('keydown',function(e){"
     b"if(e.key==='q')send(0,1);});"
     b"</script></body></html>")
 
 
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.hv_open.restype = ctypes.c_void_p
+    lib.hv_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.hv_port.restype = ctypes.c_int
+    lib.hv_port.argtypes = [ctypes.c_void_p]
+    lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hv_set_page.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hv_input.restype = ctypes.c_uint64
+    lib.hv_input.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.hv_quit.restype = ctypes.c_int
+    lib.hv_quit.argtypes = [ctypes.c_void_p]
+    lib.hv_clients.restype = ctypes.c_int
+    lib.hv_clients.argtypes = [ctypes.c_void_p]
+    lib.hv_frames.restype = ctypes.c_uint64
+    lib.hv_frames.argtypes = [ctypes.c_void_p]
+    lib.hv_close.argtypes = [ctypes.c_void_p]
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.hv_open.restype = ctypes.c_void_p
-            lib.hv_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
-            lib.hv_port.restype = ctypes.c_int
-            lib.hv_port.argtypes = [ctypes.c_void_p]
-            lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-            lib.hv_set_page.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-            lib.hv_input.restype = ctypes.c_uint64
-            lib.hv_input.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-            ]
-            lib.hv_quit.restype = ctypes.c_int
-            lib.hv_quit.argtypes = [ctypes.c_void_p]
-            lib.hv_clients.restype = ctypes.c_int
-            lib.hv_clients.argtypes = [ctypes.c_void_p]
-            lib.hv_frames.restype = ctypes.c_uint64
-            lib.hv_frames.argtypes = [ctypes.c_void_p]
-            lib.hv_close.argtypes = [ctypes.c_void_p]
-            _lib = lib
-        except Exception:
-            _lib_failed = True
-        return _lib
+    return load_native_lib("libhttpview.so", _bind)
 
 
 def native_available() -> bool:
@@ -362,22 +344,33 @@ class HttpViewer:
             return bool(self._lib.hv_quit(self._handle))
         return self._py.quit_requested if self._py is not None else False
 
-    def input_source(self, nx: int, ny: int):
+    def input_source(self, nx: int, ny: int, press_timeout: float = 0.75):
         """An ``InputSource`` for :class:`~..models.app.FluidApp`: polls the
         latest browser pointer state each frame and maps image pixels to
         grid coordinates (the frame image is y-flipped: row 0 is the grid's
         top row, see Simulation.frame_image).  The reference's mouse capture
-        (Main.cpp:213-243), browser edition."""
+        (Main.cpp:213-243), browser edition.
+
+        The page posts keepalive presses at ~30 Hz while dragging, so a
+        press whose seq has not advanced for ``press_timeout`` seconds means
+        the browser went away mid-drag (closed tab, lost network) — treat it
+        as released rather than splatting at the stale position forever."""
+        import time as _time
+
         state = {"pos": (nx / 2.0, ny / 2.0), "last": (nx / 2.0, ny / 2.0),
-                 "pressed": False}
+                 "pressed": False, "seq": 0, "seq_t": 0.0}
 
         def src(t: float):
             seq, x, y, p = self.poll_input()
-            if seq:
+            now = _time.monotonic()
+            if seq != state["seq"]:
+                state["seq"], state["seq_t"] = seq, now
                 gx = min(max(x, 0.0), nx - 1.0)
                 gy = min(max(ny - 1.0 - y, 0.0), ny - 1.0)
                 state["pos"] = (gx, gy)
                 state["pressed"] = bool(p)
+            elif state["pressed"] and now - state["seq_t"] > press_timeout:
+                state["pressed"] = False  # browser vanished mid-drag
             last = state["last"]
             state["last"] = state["pos"]
             return state["pos"], last, state["pressed"]

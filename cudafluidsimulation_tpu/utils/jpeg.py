@@ -14,39 +14,23 @@ would be slower than the PNG writer it is meant to beat.  Callers check
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
-from cudafluidsimulation_tpu.utils.native_sink import _NATIVE_DIR
+from cudafluidsimulation_tpu.utils.native_sink import load_native_lib
 
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libjpegenc.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.jpg_encode.restype = ctypes.c_long
+    lib.jpg_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.jpg_encode.restype = ctypes.c_long
-            lib.jpg_encode.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_char_p, ctypes.c_long,
-            ]
-            _lib = lib
-        except Exception:
-            _lib_failed = True
-        return _lib
+    return load_native_lib("libjpegenc.so", _bind)
 
 
 def native_available() -> bool:

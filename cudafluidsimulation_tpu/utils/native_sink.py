@@ -23,40 +23,51 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libframesink.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+_load_lock = threading.Lock()
+_loaded: dict = {}  # so filename -> CDLL, or None when the build failed
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
+def load_native_lib(so_name: str, bind) -> Optional[ctypes.CDLL]:
+    """Build + dlopen one of the native/ shared libraries, once per process.
+
+    The ONE build-and-bind idiom for every ctypes module here (frame sink,
+    HTTP view, JPEG encoder): run ``make -C native/`` (a cheap no-op when
+    the .so is fresh, a rebuild when its source changed), dlopen, and call
+    ``bind(lib)`` to declare the ctypes signatures.  Returns None — latched,
+    so the toolchain is probed once — when building or loading fails.
+    """
+    with _load_lock:
+        if so_name in _loaded:
+            return _loaded[so_name]
         try:
-            # make is a cheap no-op when the .so is fresh, and rebuilds it
-            # when framesink.cpp changed
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
                 check=True, capture_output=True, timeout=120,
             )
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.fs_open.restype = ctypes.c_void_p
-            lib.fs_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                    ctypes.c_int, ctypes.c_int]
-            lib.fs_push.restype = ctypes.c_int
-            lib.fs_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-            lib.fs_flush.argtypes = [ctypes.c_void_p]
-            lib.fs_frames_written.restype = ctypes.c_uint64
-            lib.fs_frames_written.argtypes = [ctypes.c_void_p]
-            lib.fs_frames_dropped.restype = ctypes.c_uint64
-            lib.fs_frames_dropped.argtypes = [ctypes.c_void_p]
-            lib.fs_close.argtypes = [ctypes.c_void_p]
-            _lib = lib
+            lib = ctypes.CDLL(os.path.join(_NATIVE_DIR, so_name))
+            bind(lib)
         except Exception:
-            _lib_failed = True
-        return _lib
+            lib = None
+        _loaded[so_name] = lib
+        return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.fs_open.restype = ctypes.c_void_p
+    lib.fs_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int]
+    lib.fs_push.restype = ctypes.c_int
+    lib.fs_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.fs_flush.argtypes = [ctypes.c_void_p]
+    lib.fs_frames_written.restype = ctypes.c_uint64
+    lib.fs_frames_written.argtypes = [ctypes.c_void_p]
+    lib.fs_frames_dropped.restype = ctypes.c_uint64
+    lib.fs_frames_dropped.argtypes = [ctypes.c_void_p]
+    lib.fs_close.argtypes = [ctypes.c_void_p]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    return load_native_lib("libframesink.so", _bind)
 
 
 def native_available() -> bool:

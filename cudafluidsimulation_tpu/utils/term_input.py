@@ -132,6 +132,22 @@ class TermInput:
                     self.pressed = final == b"M"
                     i += end + 1
                     continue
+                if seq.startswith(b"\x1b[M"):
+                    # legacy X10 mouse report (terminal honors mode 1002
+                    # but not SGR 1006): ESC [ M btn+32 x+32 y+32.  Parse it
+                    # — its payload bytes are raw values that must NEVER be
+                    # replayed as keystrokes (col 81 encodes as 'q'!)
+                    if len(seq) < 6:
+                        break  # incomplete: keep for the next feed
+                    btn = seq[3] - 32
+                    cx, cy = seq[4] - 32, seq[5] - 32
+                    if not btn & 64:  # ignore scroll wheel
+                        if cx > 0 and cy > 0:
+                            self.pos = self._cell_to_grid(cx, cy)
+                        # release encodes as low bits 3; press/drag holds
+                        self.pressed = (btn & 3) != 3
+                    i += 6
+                    continue
                 if (len(seq) >= 3 and seq[1:2] in (b"[", b"O")
                         and seq[2:3] in _ARROWS):  # CSI or SS3 arrows
                     dx, dy = _ARROWS[seq[2:3]]

@@ -38,9 +38,25 @@ class AviWriter:
     """
 
     def __init__(self, path: str, width: int, height: int, fps: float = 30.0,
-                 codec: str = "rgb", quality: int = 90):
-        if codec not in ("rgb", "mjpeg"):
-            raise ValueError(f"unknown codec {codec!r} (rgb or mjpeg)")
+                 codec: str = "auto", quality: int = 90):
+        if codec not in ("auto", "rgb", "mjpeg"):
+            raise ValueError(f"unknown codec {codec!r} (auto, rgb or mjpeg)")
+        if codec != "rgb":
+            # resolve 'auto' and fail FAST on an explicit 'mjpeg' request
+            # without a toolchain — before any simulation work is invested
+            from cudafluidsimulation_tpu.utils.jpeg import (
+                jpeg_bytes, native_available,
+            )
+
+            if native_available():
+                codec = "mjpeg"
+                self._encode = jpeg_bytes
+            elif codec == "mjpeg":
+                raise RuntimeError(
+                    "codec='mjpeg' requested but the native JPEG encoder is "
+                    "unavailable (no C++ toolchain?); use codec='rgb'")
+            else:
+                codec = "rgb"
         self.w, self.h = int(width), int(height)
         self.fps = float(fps)
         self.codec = codec
@@ -49,10 +65,6 @@ class AviWriter:
         self._rgb_bytes = self._stride * self.h
         self._max_chunk = self._rgb_bytes if codec == "rgb" else 0
         self._chunks = []  # (movi-relative offset, payload size) for idx1
-        if codec == "mjpeg":
-            from cudafluidsimulation_tpu.utils.jpeg import jpeg_bytes
-
-            self._encode = jpeg_bytes  # raises early if no native encoder
         self._f = open(path, "wb")
         self._write_header(n_frames=0)  # placeholder counts, fixed in close()
         self._movi_start = self._f.tell() - 4  # position of 'movi' fourcc
@@ -162,16 +174,12 @@ def write_avi(path: str, frames: Sequence[np.ndarray], fps: float = 30.0,
     """Write (N, H, W, 3|4) uint8 frames as an AVI; returns the codec used.
 
     ``codec="auto"`` picks MJPEG when the native encoder is available and
-    falls back to uncompressed RGB otherwise."""
+    falls back to uncompressed RGB otherwise (resolved by AviWriter)."""
     frames = list(frames)
     if not frames:
         raise ValueError("no frames")
-    if codec == "auto":
-        from cudafluidsimulation_tpu.utils.jpeg import native_available
-
-        codec = "mjpeg" if native_available() else "rgb"
     h, w = frames[0].shape[:2]
     with AviWriter(path, w, h, fps, codec=codec, quality=quality) as av:
         for fr in frames:
             av.add(fr)
-    return codec
+        return av.codec

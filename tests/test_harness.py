@@ -311,6 +311,20 @@ def test_avi_writer_roundtrip(tmp_path, rng):
     assert (ck, flags, off, sz) == (b"00db", 0x10, 4, size)
 
 
+def test_avi_explicit_mjpeg_fails_fast_without_encoder(tmp_path, monkeypatch):
+    """An explicit mjpeg request on a toolchain-less box must fail at
+    writer construction — before hours of simulation are invested — while
+    'auto' silently degrades to rgb."""
+    from cudafluidsimulation_tpu.utils import jpeg
+    from cudafluidsimulation_tpu.utils.video import AviWriter, write_avi
+
+    monkeypatch.setattr(jpeg, "native_available", lambda: False)
+    with pytest.raises(RuntimeError, match="native JPEG encoder"):
+        AviWriter(str(tmp_path / "x.avi"), 16, 16, codec="mjpeg")
+    frames = [np.zeros((16, 16, 4), np.uint8)]
+    assert write_avi(str(tmp_path / "y.avi"), frames, codec="auto") == "rgb"
+
+
 def test_avi_writer_mjpeg(tmp_path):
     """MJPEG AVI: container structure + per-chunk baseline JPEGs that a
     real decoder accepts, near-lossless at quality 95 on smooth content."""

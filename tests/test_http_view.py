@@ -101,6 +101,25 @@ def test_input_route_and_source(force_python):
         assert hv.quit_requested
 
 
+def test_input_source_releases_stale_press():
+    """A press whose keepalives stop (browser closed mid-drag) is treated
+    as released after the timeout instead of splatting forever."""
+    import time
+
+    with HttpViewer(width=24, height=16, force_python=True) as hv:
+        src = hv.input_source(24, 16, press_timeout=0.05)
+        _get(hv.url + "input?x=5&y=5&p=1")
+        _, _, pressed = src(0.0)
+        assert pressed
+        time.sleep(0.12)  # no further /input arrives
+        _, _, pressed = src(0.1)
+        assert not pressed
+        # a fresh press re-arms it
+        _get(hv.url + "input?x=6&y=5&p=1")
+        _, _, pressed = src(0.2)
+        assert pressed
+
+
 def test_interactive_app_via_http_input():
     """End-to-end: input posted to the server steers a FluidApp frame loop
     (the CLI's --view http --interactive wiring)."""

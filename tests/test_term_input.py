@@ -119,6 +119,23 @@ def test_unknown_csi_consumed_through_final_byte():
     assert t.quit
 
 
+def test_x10_mouse_reports_parsed_not_replayed():
+    """Legacy X10 reports (mode 1002 without SGR 1006) are parsed — and
+    their raw payload bytes must never leak into the key handler: column 81
+    encodes as 'q' (quit!), column 0 as space (press toggle)."""
+    t = make()
+    t.feed(b"\x1b[M" + bytes([0 + 32, 81 + 32, 8 + 32]))  # press at col 81
+    assert t.pressed and not t.quit
+    assert t.pos[0] == 127.0  # col 81 of a 64-col viewer clamps to nx-1
+    t.feed(b"\x1b[M" + bytes([3 + 32, 81 + 32, 8 + 32]))  # release (btn=3)
+    assert not t.pressed and not t.quit
+    # incomplete report buffers across feeds
+    t.feed(b"\x1b[M" + bytes([32]))
+    assert not t.pressed
+    t.feed(bytes([40 + 32, 8 + 32]))
+    assert t.pressed
+
+
 def test_ss3_arrows_and_alt_keys():
     t = make()
     y0 = t.pos[1]
