@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "the terminal; with --view http, drag in the browser "
                    "page itself (q quits in both)")
     p.add_argument("--pipelined", action="store_true",
-                   help="with --view term: overlap step dispatch with frame "
+                   help="with --view: overlap step dispatch with frame "
                    "readback (one frame of latency, much higher FPS on "
                    "high-latency links)")
     p.add_argument("--mesh", choices=["none", "rows", "2d"], default="none",
