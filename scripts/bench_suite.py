@@ -7,6 +7,8 @@ metric).  Run on TPU; falls back to tiny smoke sizes elsewhere.
   2. 1024² single-chip, 40 Jacobi iters, 1000-step jit scan
   3. 2048² with on-device RGBA render each step
   4. vmapped ensemble: 64 x 512² viscosity sweep
+  4b. 8192² on one chip; 4c. solver frontier (Jacobi-40 vs multigrid,
+      residual + throughput)
   5. 8192² sharded: shard_map rollout (dry-run scale if <8 devices)
 """
 
@@ -125,6 +127,44 @@ def main():
         sec = timed(sim._jit_run, sim.init(), imp, reps=2)
         emit(f"single-chip {n}^2 x{steps} (100 pressure iters)", steps, sec,
              n * n)
+
+    # 4c. solver quality/time frontier: the parity Jacobi-40 barely dents
+    # the pressure residual at 2048² (it stalls on low-frequency error),
+    # while multigrid actually SOLVES the Poisson problem — the measured
+    # accuracy-per-time evidence behind BASELINE.md's "far lower residuals"
+    from cudafluidsimulation_tpu.ops.multigrid import (
+        pressure_solve_mg, residual_norm,
+    )
+
+    n = 2048 // scale
+    steps = 100 if on_tpu else 5
+    cfg_j = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=40,
+                                      backend="auto")
+    sim_j = Simulation(cfg_j)
+    imp = orbit_impulse(steps, cfg_j.dt, center=(n / 2, n / 2), radius=n / 8)
+    st = sim_j._jit_run(sim_j.init(), imp)  # a driven, turbulent field
+    ops_j = sim_j.ops
+    div = jax.jit(lambda s: ops_j.divergence(s.u, s.v,
+                                             cfg_j.half_divergence))(st)
+    r_zero = float(residual_norm(jnp.zeros_like(div), div))
+    r_j = float(residual_norm(
+        jax.jit(lambda d: ops_j.pressure_solve(d, 40))(div), div))
+    sec_j = timed(sim_j._jit_run, sim_j.init(), imp, reps=1)
+    emit(f"solver-frontier {n}^2 jacobi-40 (parity)", steps, sec_j, n * n,
+         {"pressure_residual_rms": round(r_j, 4),
+          "zero_guess_residual_rms": round(r_zero, 4)})
+
+    cycles = 2
+    cfg_m = FluidConfig.gpu_reference(nx=n, ny=n,
+                                      pressure_solver="multigrid",
+                                      mg_cycles=cycles, backend="auto")
+    sim_m = Simulation(cfg_m)
+    r_m = float(residual_norm(
+        jax.jit(lambda d: pressure_solve_mg(d, cycles))(div), div))
+    sec_m = timed(sim_m._jit_run, sim_m.init(), imp, reps=1)
+    emit(f"solver-frontier {n}^2 multigrid-{cycles}", steps, sec_m, n * n,
+         {"pressure_residual_rms": round(r_m, 4),
+          "residual_vs_jacobi40": round(r_j / max(r_m, 1e-30), 1)})
 
     # 5. sharded 8192² (needs >= 8 devices; else report dry-run scale)
     ndev = len(jax.devices())
