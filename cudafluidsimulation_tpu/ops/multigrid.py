@@ -10,9 +10,13 @@ Solves the same discrete system the parity solver iterates,
     (4 p - pL - pR - pB - pT) = -div     (clamped / Neumann edges),
 so it plugs into the pipeline as ``pressure_solver="multigrid"``
 (FluidConfig) with everything else unchanged.  Restriction is 2x2 averaging,
-prolongation nearest-neighbor — both pure VPU reshape/broadcast ops that XLA
-fuses well on TPU.  Requires grid dims divisible by 2**levels; levels are
-chosen automatically.
+prolongation cell-centered bilinear (9-3-3-1 weights) — nearest-neighbor
+prolongation is below the order requirement for the 5-point Laplacian and
+measurably injects blocky error the post-smoothing cannot remove (at 2048²
+on a driven field, one NN cycle left rms residual 1.59 vs 0.134 bilinear,
+from a zero-guess 0.82).  All pure VPU reshape/shift ops that XLA fuses
+well on TPU.  Requires grid dims divisible by 2**levels; levels are chosen
+automatically.
 """
 
 from __future__ import annotations
@@ -32,8 +36,30 @@ def _restrict(x):
     return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
 
 
+def bilinear_from_padded(xp):
+    """Cell-centered bilinear (9-3-3-1) prolongation from a ONE-cell-padded
+    coarse array.  The caller supplies the padding — clamped domain edges
+    single-chip (``jnp.pad mode='edge'``), exchanged halos on the sharded
+    paths — so both use the SAME local arithmetic and sharded solves stay
+    bit-identical to the single-chip solver."""
+    c = xp[1:-1, 1:-1]
+    u, d = xp[:-2, 1:-1], xp[2:, 1:-1]
+    l, r = xp[1:-1, :-2], xp[1:-1, 2:]
+    ul, ur = xp[:-2, :-2], xp[:-2, 2:]
+    dl, dr = xp[2:, :-2], xp[2:, 2:]
+    s = 1.0 / 16.0
+    f00 = (9.0 * c + 3.0 * u + 3.0 * l + ul) * s  # fine (2i, 2j)
+    f01 = (9.0 * c + 3.0 * u + 3.0 * r + ur) * s
+    f10 = (9.0 * c + 3.0 * d + 3.0 * l + dl) * s
+    f11 = (9.0 * c + 3.0 * d + 3.0 * r + dr) * s
+    h, w = c.shape
+    top = jnp.stack([f00, f01], axis=-1).reshape(h, 2 * w)
+    bot = jnp.stack([f10, f11], axis=-1).reshape(h, 2 * w)
+    return jnp.stack([top, bot], axis=1).reshape(2 * h, 2 * w)
+
+
 def _prolong(x):
-    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    return bilinear_from_padded(jnp.pad(x, 1, mode="edge"))
 
 
 def local_levels(n: int) -> int:
@@ -60,17 +86,21 @@ def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
     return n + 1
 
 
-def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None):
+def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
+                prolong_fn=None):
     """Build the V-cycle from a clamped-neighborhood function — the single
     source of the multigrid numerics.  ``neighbors_fn(p) -> (l, r, b, t)``
     supplies the operator's boundary handling: the single-chip solver passes
     the local clamped stencil, the shard_map path passes its ppermute
-    halo-exchange stencil.  Restriction/prolongation are local either way
-    (shards hold globally contiguous rows).
+    halo-exchange stencil.  Restriction is local either way (shards hold
+    globally contiguous rows).
 
     ``smooth_fn(p, rhs, sweeps)`` overrides the damped-Jacobi smoother with
     an equivalent implementation (the shard_map path substitutes a k-deep
     halo-exchange burst smoother — same sweeps, 1/k the exchanges).
+    ``prolong_fn(e_c)`` overrides the bilinear prolongation (the sharded
+    paths feed ``bilinear_from_padded`` a 1-deep halo exchange instead of
+    the local clamped pad — same arithmetic, bit-identical results).
     ``bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)`` overrides the coarsest
     level (the shard_map path gathers the sub-shard-cap levels there)."""
 
@@ -88,6 +118,7 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None):
         return p
 
     smooth = smooth_fn or default_smooth
+    prolong = prolong_fn or _prolong
 
     def vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
         if level == 1:
@@ -103,7 +134,7 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None):
         rhs_c = 4.0 * _restrict(res)
         e_c = vcycle(jnp.zeros_like(rhs_c), rhs_c, level - 1, nu1, nu2,
                      coarse_sweeps)
-        p = p + _prolong(e_c)
+        p = p + prolong(e_c)
         return smooth(p, rhs, nu2)
 
     return vcycle, apply_a

@@ -417,8 +417,14 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
                 return lax.dynamic_slice_in_dim(
                     e, lax.axis_index(col_axis) * cc, cc, 1)
 
+        def _mg_prolong(e_c):
+            # bilinear prolongation taps 1 coarse neighbor in BOTH axes
+            # (incl. the diagonal — exchange_2d carries corners); clamp
+            # edges match the single-chip pad exactly
+            return mg.bilinear_from_padded(_x2d(e_c, 1, edge="clamp"))
+
         vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                   bottom_fn=bottom)
+                                   bottom_fn=bottom, prolong_fn=_mg_prolong)
         rhs = -div
         p = jnp.zeros_like(div)
         for _ in range(cycles):

@@ -490,8 +490,16 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
                 return lax.dynamic_slice_in_dim(
                     e, lax.axis_index(axis_name) * rows, rows, 0)
 
+        def _mg_prolong(e_c):
+            # bilinear prolongation taps 1 coarse neighbor: rows come from
+            # the vertical exchange (clamped at the domain edge, exactly
+            # like the single-chip pad), columns are local
+            ep = exchange_rows(e_c, 1, axis_name, edge="clamp")
+            return mg.bilinear_from_padded(
+                jnp.pad(ep, ((0, 0), (1, 1)), mode="edge"))
+
         vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                   bottom_fn=bottom)
+                                   bottom_fn=bottom, prolong_fn=_mg_prolong)
         rhs = -div
         p = jnp.zeros_like(div)
         for _ in range(cycles):

@@ -22,6 +22,18 @@ def test_mg_beats_40_jacobi_sweeps(rng):
     assert r_mg < 0.5 * r_jac, (r_mg, r_jac)
 
 
+def test_single_cycle_beats_40_jacobi_sweeps(rng):
+    """With bilinear (9-3-3-1) prolongation even ONE V-cycle out-converges
+    40 plain sweeps — nearest-neighbor prolongation could not (it is below
+    the order requirement for the 5-point Laplacian and injects blocky
+    error; see ops/multigrid.py docstring for the measured 2048² numbers)."""
+    div = rng.standard_normal((256, 256)).astype(np.float32)
+    div = jnp.asarray(div - div.mean())
+    r_jac = float(residual_norm(ref.pressure_solve(div, 40), div))
+    r_mg1 = float(residual_norm(pressure_solve_mg(div, cycles=1), div))
+    assert r_mg1 < r_jac, (r_mg1, r_jac)
+
+
 def test_mg_converges_with_cycles(rng):
     div = rng.standard_normal((128, 128)).astype(np.float32)
     div = jnp.asarray(div - div.mean())
