@@ -32,8 +32,11 @@ _OMEGA = 0.8  # damped-Jacobi smoothing weight
 
 
 def _restrict(x):
-    h, w = x.shape
-    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    # strided adds, NOT reshape(h//2,2,w//2,2).mean((1,3)): the reshape
+    # forces a TPU relayout costing ~4.5 ms at 2048² where this form costs
+    # ~0.1 ms (delta-timed; bit-identical result on the same data)
+    r = x[0::2, :] + x[1::2, :]
+    return (r[:, 0::2] + r[:, 1::2]) * 0.25
 
 
 def bilinear_from_padded(xp):
