@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 = variant default (cpu:5, gpu:20)")
     p.add_argument("--pressure-iters", type=int, default=-1,
                    help="-1 = variant default (cpu:5, gpu:30)")
+    p.add_argument("--pressure-solver", choices=["jacobi", "multigrid"],
+                   default="jacobi",
+                   help="jacobi = reference-parity fixed sweeps; multigrid "
+                   "= V-cycle solver (converges ~29x further at roughly the "
+                   "same step rate at 2048^2 — see BASELINE.md)")
+    p.add_argument("--mg-cycles", type=int, default=2,
+                   help="V-cycles per step with --pressure-solver multigrid")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--impulse-file", default="",
                    help="JSON impulse script ([x,y,pressed] per step or "
@@ -135,6 +142,9 @@ def main(argv=None) -> int:
         overrides["diffusion_iters"] = args.diffusion_iters
     if args.pressure_iters >= 0:
         overrides["pressure_iters"] = args.pressure_iters
+    if args.pressure_solver != "jacobi":
+        overrides["pressure_solver"] = args.pressure_solver
+        overrides["mg_cycles"] = args.mg_cycles
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 

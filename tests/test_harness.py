@@ -235,6 +235,27 @@ def test_cli_view_records_video(tmp_path, capsys):
     assert n_frames == 8  # one chunk per live frame
 
 
+def test_cli_pressure_solver_multigrid(tmp_path):
+    """--pressure-solver multigrid runs end-to-end and leaves less residual
+    divergence than the parity Jacobi run at the same step count."""
+    from cudafluidsimulation_tpu.cli import main
+    from cudafluidsimulation_tpu.ops import ref
+
+    outs = {}
+    for solver in ("jacobi", "multigrid"):
+        f = tmp_path / f"{solver}.npz"
+        rc = main(["--grid", "64", "--steps", "15", "--backend", "ref",
+                   "--impulse", "center", "--pressure-solver", solver,
+                   "--diffusion-iters", "2", "--save-fields", str(f)])
+        assert rc == 0
+        with np.load(f) as d:
+            div = ref.divergence(jnp.asarray(d["u"]), jnp.asarray(d["v"]),
+                                 True)
+            outs[solver] = float(jnp.sqrt(jnp.mean(div ** 2)))
+    assert np.isfinite(outs["multigrid"])
+    assert outs["multigrid"] < outs["jacobi"]
+
+
 def test_cli_health_segments(tmp_path, capsys):
     from cudafluidsimulation_tpu.cli import main
 
