@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "same step rate at 2048^2 — see BASELINE.md)")
     p.add_argument("--mg-cycles", type=int, default=2,
                    help="V-cycles per step with --pressure-solver multigrid")
+    p.add_argument("--max-displacement", type=int, default=0,
+                   help="advection backtrace bound in cells (pallas kernel "
+                   "vertical window / sharded halo depth); 0 = config "
+                   "default (15).  Raise for exactness on fast flows — "
+                   "d=31 covers the driven benchmark flow at ~10%% more "
+                   "step time (BASELINE.md)")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--impulse-file", default="",
                    help="JSON impulse script ([x,y,pressed] per step or "
@@ -145,6 +151,8 @@ def main(argv=None) -> int:
     if args.pressure_solver != "jacobi":
         overrides["pressure_solver"] = args.pressure_solver
         overrides["mg_cycles"] = args.mg_cycles
+    if args.max_displacement > 0:
+        overrides["max_displacement"] = args.max_displacement
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 

@@ -256,6 +256,21 @@ def test_cli_pressure_solver_multigrid(tmp_path):
     assert outs["multigrid"] < outs["jacobi"]
 
 
+def test_cli_max_displacement(tmp_path):
+    """--max-displacement widens the advection bound; on the ref backend it
+    sizes nothing (single-chip ref is unbounded) but must parse and run."""
+    from cudafluidsimulation_tpu.cli import main
+
+    f = tmp_path / "f.npz"
+    rc = main(["--grid", "64", "--steps", "6", "--backend", "ref",
+               "--impulse", "center", "--max-displacement", "31",
+               "--diffusion-iters", "2", "--pressure-iters", "2",
+               "--save-fields", str(f)])
+    assert rc == 0
+    with np.load(f) as d:
+        assert np.isfinite(d["u"]).all()
+
+
 def test_cli_health_segments(tmp_path, capsys):
     from cudafluidsimulation_tpu.cli import main
 
