@@ -151,6 +151,11 @@ def main(argv=None) -> int:
     if args.pressure_solver != "jacobi":
         overrides["pressure_solver"] = args.pressure_solver
         overrides["mg_cycles"] = args.mg_cycles
+        if args.pressure_iters >= 0:
+            print("note: --pressure-iters is ignored with --pressure-solver "
+                  "multigrid (use --mg-cycles)")
+    if args.max_displacement < 0:
+        raise SystemExit("--max-displacement must be >= 0 (0 = default)")
     if args.max_displacement > 0:
         overrides["max_displacement"] = args.max_displacement
     cfg = maker(nx=nx, ny=ny, **overrides)

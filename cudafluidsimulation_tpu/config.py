@@ -133,6 +133,11 @@ class FluidConfig:
             raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
         if self.diffusion_iters < 0 or self.pressure_iters < 0:
             raise ValueError("iteration counts must be >= 0")
+        if self.mg_cycles < 1:
+            # 0 cycles would silently skip the pressure solve entirely
+            raise ValueError("mg_cycles must be >= 1")
+        if self.max_displacement < 1:
+            raise ValueError("max_displacement must be >= 1")
 
     # -- reference configurations -------------------------------------------
 

@@ -142,14 +142,20 @@ def main():
                                       backend="auto")
     sim_j = Simulation(cfg_j)
     imp = orbit_impulse(steps, cfg_j.dt, center=(n / 2, n / 2), radius=n / 8)
-    st = sim_j._jit_run(sim_j.init(), imp)  # a driven, turbulent field
+    # the warmup/compile run doubles as the driven-field producer (one
+    # 100-step 2048^2 rollout saved vs a separate timed() warmup)
+    st = sim_j._jit_run(sim_j.init(), imp)
+    jax.tree.map(lambda a: a.block_until_ready(), st)
+    t0 = time.perf_counter()
+    jax.tree.map(lambda a: a.block_until_ready(),
+                 sim_j._jit_run(sim_j.init(), imp))
+    sec_j = time.perf_counter() - t0
     ops_j = sim_j.ops
     div = jax.jit(lambda s: ops_j.divergence(s.u, s.v,
                                              cfg_j.half_divergence))(st)
     r_zero = float(residual_norm(jnp.zeros_like(div), div))
     r_j = float(residual_norm(
         jax.jit(lambda d: ops_j.pressure_solve(d, 40))(div), div))
-    sec_j = timed(sim_j._jit_run, sim_j.init(), imp, reps=1)
     emit(f"solver-frontier {n}^2 jacobi-40 (parity)", steps, sec_j, n * n,
          {"pressure_residual_rms": round(r_j, 4),
           "zero_guess_residual_rms": round(r_zero, 4)})

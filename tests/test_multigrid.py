@@ -68,3 +68,14 @@ def test_pipeline_with_multigrid_reduces_divergence():
 def test_invalid_solver_rejected():
     with pytest.raises(ValueError):
         FluidConfig.gpu_reference(pressure_solver="conjugate-gradient")
+
+
+def test_invalid_mg_cycles_rejected():
+    """0 cycles would silently skip the pressure solve (zero pressure, no
+    projection) — must be a config error, not a quietly wrong run."""
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="mg_cycles"):
+            FluidConfig.gpu_reference(pressure_solver="multigrid",
+                                      mg_cycles=bad)
+    with pytest.raises(ValueError, match="max_displacement"):
+        FluidConfig.gpu_reference(max_displacement=0)
