@@ -33,13 +33,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 = variant default (cpu:5, gpu:20)")
     p.add_argument("--pressure-iters", type=int, default=-1,
                    help="-1 = variant default (cpu:5, gpu:30)")
+    p.add_argument("--preset", choices=["parity", "quality"], default=None,
+                   help="parity = the reference gpu pipeline as shipped "
+                   "(the default config); quality = beyond-parity accuracy "
+                   "(multigrid pressure with residual-targeted stopping "
+                   "rms<0.05 + exact advection bound d=31 — the BASELINE.md "
+                   "solver-frontier config).  Explicit flags override the "
+                   "preset")
     p.add_argument("--pressure-solver", choices=["jacobi", "multigrid"],
-                   default="jacobi",
-                   help="jacobi = reference-parity fixed sweeps; multigrid "
-                   "= V-cycle solver (converges ~29x further at roughly the "
-                   "same step rate at 2048^2 — see BASELINE.md)")
-    p.add_argument("--mg-cycles", type=int, default=2,
-                   help="V-cycles per step with --pressure-solver multigrid")
+                   default=None,
+                   help="jacobi = reference-parity fixed sweeps (default); "
+                   "multigrid = V-cycle solver (converges ~29x further at "
+                   "roughly the same step rate at 2048^2 — see BASELINE.md)")
+    p.add_argument("--mg-cycles", type=int, default=None,
+                   help="V-cycles per step with --pressure-solver multigrid "
+                   "(default 2; ignored when --mg-tol is set)")
+    p.add_argument("--mg-tol", type=float, default=None,
+                   help="with --pressure-solver multigrid: run V-cycles "
+                   "until rms(A p + div) < TOL (at most --mg-max-cycles) "
+                   "instead of a fixed --mg-cycles count")
+    p.add_argument("--mg-max-cycles", type=int, default=None,
+                   help="cycle cap for --mg-tol (default 8)")
     p.add_argument("--max-displacement", type=int, default=0,
                    help="advection backtrace bound in cells (pallas kernel "
                    "vertical window / sharded halo depth); 0 = config "
@@ -66,8 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="auto = MJPEG if the native JPEG encoder builds, "
                    "else lossless uncompressed RGB")
-    p.add_argument("--video-quality", type=int, default=90,
-                   help="MJPEG quality 1-100 (90 ~ visually lossless)")
+    p.add_argument("--video-quality", type=int, default=None,
+                   help="MJPEG quality 1-100 (default 90 ~ visually "
+                   "lossless; ignored with --video-codec rgb)")
     p.add_argument("--save-fields", default="", help="npz path for final fields")
     p.add_argument("--checkpoint", default="", help="save final state pytree here")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -82,11 +97,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "the bad segment instead of only at the end")
     p.add_argument("--health-every", type=int, default=100,
                    help="steps per health-check segment")
-    p.add_argument("--report-mode", choices=["sampled", "instrumented"],
+    p.add_argument("--report-mode", choices=["sampled", "decomposed",
+                                             "instrumented"],
                    default="sampled",
-                   help="sampled = out-of-band stage timing (fast); "
-                   "instrumented = reference-style in-run accumulation "
-                   "(re-runs the rollout un-jitted, slow)")
+                   help="sampled = out-of-band timing of the stages the "
+                   "pipeline ACTUALLY runs, fused buckets included (fast); "
+                   "decomposed = reference-style in-run accumulation with "
+                   "the fused ops split back into the reference's stage "
+                   "buckets — NOTE this times unfused kernels the "
+                   "production step does not run (re-runs the rollout "
+                   "un-jitted, slow).  'instrumented' is a deprecated "
+                   "alias for 'decomposed'")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the rollout")
     p.add_argument("--view", choices=["none", "term", "http"], default="none",
@@ -95,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "(multipart PNG) on --http-port")
     p.add_argument("--http-port", type=int, default=0,
                    help="port for --view http (0 = pick a free one)")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="bind address for --view http (default loopback; "
+                   "0.0.0.0 exposes the stream AND the /input steering "
+                   "route to the network — opt-in deliberately)")
     p.add_argument("--interactive", action="store_true",
                    help="steer the fluid live — the reference's mouse "
                    "capture: with --view term, mouse drag or WASD+space in "
@@ -112,6 +137,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="device count for --mesh (0 = all visible devices)")
     return p
+
+
+def _clamp_warning(cfg, state, mesh: str):
+    """Warning string when the run's final state shows realized advection
+    displacement beyond ``max_displacement`` on an execution path that
+    clamps backtrace taps there (pallas backend / sharded meshes);
+    None when the path is exact or the flow stayed within the bound."""
+    from cudafluidsimulation_tpu.utils import health
+
+    axes = health.clamp_axes(cfg.resolve_backend(), mesh)
+    if not axes:
+        return None
+    finite, speed, dye, au, av = health._health_stats(state)
+    if not bool(finite):
+        return None  # blow-up reporting is the health check's job
+    h = health.Health(True, float(speed), float(dye), float(au), float(av))
+    return health.displacement_check(h, cfg.dt, cfg.max_displacement, axes)
 
 
 def _enable_compile_cache():
@@ -134,7 +176,9 @@ def main(argv=None) -> int:
 
     from cudafluidsimulation_tpu import FluidConfig, Simulation
     from cudafluidsimulation_tpu.utils import impulse as imps
-    from cudafluidsimulation_tpu.utils.checkpoint import load_state, save_state
+    from cudafluidsimulation_tpu.utils.checkpoint import (
+        load_state_with_fallback, save_state,
+    )
     from cudafluidsimulation_tpu.utils.png import write_png
     from cudafluidsimulation_tpu.utils.timing import StageReport
 
@@ -144,16 +188,40 @@ def main(argv=None) -> int:
     ny = args.ny or args.grid
     maker = FluidConfig.cpu_reference if args.variant == "cpu" else FluidConfig.gpu_reference
     overrides = dict(backend=args.backend, dt=args.dt)
+    if args.preset == "quality":
+        # the BASELINE.md solver-frontier config; explicit flags below win
+        if args.variant == "cpu":
+            raise SystemExit("--preset quality applies to the gpu variant")
+        overrides.update(pressure_solver="multigrid", mg_tol=0.05,
+                         max_displacement=31)
     if args.diffusion_iters >= 0:
         overrides["diffusion_iters"] = args.diffusion_iters
     if args.pressure_iters >= 0:
         overrides["pressure_iters"] = args.pressure_iters
-    if args.pressure_solver != "jacobi":
+    if args.pressure_solver is not None:
         overrides["pressure_solver"] = args.pressure_solver
-        overrides["mg_cycles"] = args.mg_cycles
+    if overrides.get("pressure_solver") == "multigrid":
+        if args.mg_cycles is not None:
+            overrides["mg_cycles"] = args.mg_cycles
+        if args.mg_tol is not None:
+            overrides["mg_tol"] = args.mg_tol
+        if args.mg_max_cycles is not None:
+            overrides["mg_max_cycles"] = args.mg_max_cycles
         if args.pressure_iters >= 0:
             print("note: --pressure-iters is ignored with --pressure-solver "
-                  "multigrid (use --mg-cycles)")
+                  "multigrid (use --mg-cycles / --mg-tol)")
+        if args.mg_cycles is not None and overrides.get("mg_tol", 0.0) > 0:
+            print("note: --mg-cycles is ignored when --mg-tol is set "
+                  "(cycles run until the residual target, up to "
+                  "--mg-max-cycles)")
+    else:
+        for flag, name in [(args.mg_cycles, "--mg-cycles"),
+                           (args.mg_tol, "--mg-tol"),
+                           (args.mg_max_cycles, "--mg-max-cycles")]:
+            if flag is not None:
+                print(f"note: {name} is ignored with --pressure-solver "
+                      "jacobi (pass --pressure-solver multigrid or "
+                      "--preset quality)")
     if args.max_displacement < 0:
         raise SystemExit("--max-displacement must be >= 0 (0 = default)")
     if args.max_displacement > 0:
@@ -173,8 +241,20 @@ def main(argv=None) -> int:
     else:
         imp = imps.no_impulse(args.steps, cfg.dt)
 
+    video_quality = 90 if args.video_quality is None else args.video_quality
+    if args.video_quality is not None and args.video_codec == "rgb":
+        print("note: --video-quality is ignored with --video-codec rgb "
+              "(lossless uncompressed frames)")
+    if args.report_mode == "instrumented":
+        print("note: --report-mode instrumented is now called 'decomposed' "
+              "(it splits the fused production ops back into the "
+              "reference's stage buckets)")
+        args.report_mode = "decomposed"
+
     if args.resume:
-        state = load_state(args.resume)
+        # fallback loader: a checkpoint torn by a pre-atomic writer (or a
+        # partial disk) falls back to the rotated .prev.npz copy
+        state = load_state_with_fallback(args.resume)
         if tuple(state.u.shape) != (ny, nx):
             raise SystemExit(
                 f"checkpoint grid {state.u.shape[1]}x{state.u.shape[0]} does not "
@@ -232,9 +312,10 @@ def main(argv=None) -> int:
         if args.view == "http":
             from cudafluidsimulation_tpu.utils.http_view import HttpViewer
 
-            viewer = HttpViewer(port=args.http_port, width=nx, height=ny)
+            viewer = HttpViewer(port=args.http_port, width=nx, height=ny,
+                                host=args.http_host)
             print(f"live view: {'  '.join(viewer.urls)}  "
-                  "(bound on 0.0.0.0; Ctrl-C to stop)")
+                  f"(bound on {args.http_host}; Ctrl-C to stop)")
         else:
             from cudafluidsimulation_tpu.utils.term_view import TermViewer
 
@@ -251,7 +332,7 @@ def main(argv=None) -> int:
 
             avi = AviWriter(args.video, nx, ny, fps=args.video_fps,
                             codec=args.video_codec,
-                            quality=args.video_quality)
+                            quality=video_quality)
 
             def sink(frame, _v=viewer, _a=avi):
                 _v(frame)
@@ -329,6 +410,9 @@ def main(argv=None) -> int:
         if args.checkpoint:
             save_state(args.checkpoint, state)
             print(f"saved checkpoint to {args.checkpoint}")
+        warn = _clamp_warning(cfg, state, args.mesh)
+        if warn:
+            print(f"warning: {warn}")
         if report is not None:
             print(report.format())
         return 0
@@ -425,6 +509,7 @@ def main(argv=None) -> int:
         start = 0
         last_good = state
         steps_since_ckpt = 0
+        clamp_warned = False
         while start < n_total:
             end = min(start + seg, n_total)
             part = Impulse(*(f[start:end] for f in imp))
@@ -436,7 +521,19 @@ def main(argv=None) -> int:
                 frames.append(sim.frame_image(sim._jit_render(state)))
             if health_on:
                 try:
-                    check_health(state, max_speed=max_speed)
+                    h = check_health(state, max_speed=max_speed)
+                    # per-segment clamp observability: transient fast flow
+                    # is visible here even if the final state has calmed
+                    from cudafluidsimulation_tpu.utils.health import (
+                        clamp_axes, displacement_check,
+                    )
+
+                    axes = clamp_axes(cfg.resolve_backend(), args.mesh)
+                    w = (displacement_check(h, cfg.dt, cfg.max_displacement,
+                                            axes) if axes else None)
+                    if w and not clamp_warned:
+                        print(f"warning: {w}")
+                        clamp_warned = True
                 except HealthError as e:
                     # salvage the last healthy state so a long run is not a
                     # total loss (the recovery layer the reference lacks)
@@ -471,7 +568,7 @@ def main(argv=None) -> int:
         from cudafluidsimulation_tpu.utils.video import write_avi
 
         used = write_avi(args.video, list(frames), fps=args.video_fps,
-                         codec=args.video_codec, quality=args.video_quality)
+                         codec=args.video_codec, quality=video_quality)
         print(f"wrote {len(frames)}-frame {used.upper()} AVI to {args.video} "
               "(ffmpeg -i ... out.mp4 to transcode)")
 
@@ -487,13 +584,18 @@ def main(argv=None) -> int:
         save_state(args.checkpoint, state)
         print(f"saved checkpoint to {args.checkpoint}")
 
+    if not clamp_warned:
+        warn = _clamp_warning(cfg, state, args.mesh)
+        if warn:
+            print(f"warning: {warn}")
+
     rep = StageReport(grid=f"{nx}x{ny}", steps=args.steps, total_s=wall)
     if args.report and args.mesh != "none":
         print("note: per-stage --report sampling reflects the single-chip "
               "op set; skipped with --mesh (whole-step timings above are "
               "the sharded rollout's)")
     elif args.report:
-        if args.report_mode == "instrumented":
+        if args.report_mode == "decomposed":
             from cudafluidsimulation_tpu.utils.instrument import run_instrumented
 
             _, irep = run_instrumented(cfg, sim.init(), imp)

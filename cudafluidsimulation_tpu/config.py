@@ -92,6 +92,12 @@ class FluidConfig:
     # ops/multigrid.py) — far better converged per FLOP, not bit-parity.
     pressure_solver: str = "jacobi"
     mg_cycles: int = 2
+    # Residual-targeted multigrid stopping: when > 0, V-cycles run until
+    # rms(A p + div) < mg_tol (at most mg_max_cycles, at least 1) instead of
+    # the fixed mg_cycles count.  Uses lax.while_loop, so the cycle count is
+    # dynamic per step with no recompiles.
+    mg_tol: float = 0.0
+    mg_max_cycles: int = 8
 
     # CPU path zeroes rows y=0..10 every step (cpuFluidSim.cpp:387-394);
     # the GPU path has no such strip.
@@ -136,6 +142,10 @@ class FluidConfig:
         if self.mg_cycles < 1:
             # 0 cycles would silently skip the pressure solve entirely
             raise ValueError("mg_cycles must be >= 1")
+        if self.mg_tol < 0:
+            raise ValueError("mg_tol must be >= 0 (0 = fixed mg_cycles)")
+        if self.mg_max_cycles < 1:
+            raise ValueError("mg_max_cycles must be >= 1")
         if self.max_displacement < 1:
             raise ValueError("max_displacement must be >= 1")
 
@@ -195,6 +205,30 @@ class FluidConfig:
         )
         kw.update(overrides)
         return FluidConfig(**kw)
+
+    @staticmethod
+    def quality(nx: int = 2048, ny: int = 2048, **overrides) -> "FluidConfig":
+        """Beyond-parity "quality" preset (CLI ``--preset quality``).
+
+        Same physics pipeline as :meth:`gpu_reference` but with the two
+        accuracy knobs the parity config leaves on the table (BASELINE.md
+        "Solver frontier"):
+
+        - multigrid pressure with residual-targeted stopping
+          (rms(A p + div) < 0.05 — ~14x below what 40 Jacobi sweeps leave
+          at 2048², usually 2 V-cycles) instead of fixed sweeps that stall
+          on low-frequency error;
+        - ``max_displacement=31``: the advection backtrace bound covers
+          |v|*dt up to 31 cells/step (the driven benchmark flow peaks at
+          ~22), so backtraces are exact rather than clamped.
+        """
+        kw = dict(
+            pressure_solver="multigrid",
+            mg_tol=0.05,
+            max_displacement=31,
+        )
+        kw.update(overrides)
+        return FluidConfig.gpu_reference(nx=nx, ny=ny, **kw)
 
     # -- derived ------------------------------------------------------------
 

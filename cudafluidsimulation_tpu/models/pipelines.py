@@ -126,7 +126,9 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         # -- pressure projection
         if config.pressure_solver == "multigrid":
             div = ops.divergence(u, v, config.half_divergence)
-            p = ops.pressure_solve_mg(div, config.mg_cycles)
+            p = ops.pressure_solve_mg(div, config.mg_cycles,
+                                      tol=config.mg_tol,
+                                      max_cycles=config.mg_max_cycles)
             u, v = ops.project(u, v, p)
         else:
             # single fused op (divergence folded into the first pressure

@@ -79,6 +79,28 @@ class Simulation:
     def run_steps(self, state: FluidState, steps: int) -> FluidState:
         return self.run(state, no_impulse(steps, self.config.dt))
 
+    def run_displacement(self, state: FluidState, impulses: Impulse):
+        """Rollout + realized advection displacement: returns
+        ``(final_state, (max|u|*dt, max|v|*dt))`` where the maxima run over
+        EVERY step of the scan (not just the final state) — the quantity the
+        pallas/sharded advection bound ``max_displacement`` clamps, measured
+        on the velocity each backtrace actually sampled (pre-advection)."""
+
+        @functools.partial(jax.jit)
+        def run(state, impulses):
+            def body(carry, imp):
+                s, mu, mv = carry
+                mu = jnp.maximum(mu, jnp.max(jnp.abs(s.u)) * imp.dt)
+                mv = jnp.maximum(mv, jnp.max(jnp.abs(s.v)) * imp.dt)
+                return (self.step_fn(s, imp), mu, mv), None
+
+            (final, mu, mv), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0), jnp.float32(0.0)), impulses)
+            return final, mu, mv
+
+        final, mu, mv = run(state, impulses)
+        return final, (float(mu), float(mv))
+
     # -- rendering ----------------------------------------------------------
 
     @staticmethod
@@ -204,7 +226,9 @@ class Simulation:
 
         if cfg.pressure_solver == "multigrid":
             def solve(div):
-                return ops.pressure_solve_mg(div, cfg.mg_cycles)
+                return ops.pressure_solve_mg(div, cfg.mg_cycles,
+                                             tol=cfg.mg_tol,
+                                             max_cycles=cfg.mg_max_cycles)
         else:
             def solve(div):
                 return ops.pressure_solve(div, cfg.pressure_iters)

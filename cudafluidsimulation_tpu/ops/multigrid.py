@@ -146,18 +146,59 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
 _vcycle, _apply_a = make_vcycle(neighbors)
 
 
-@functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2", "coarse_sweeps"))
+def run_cycles(vcycle, res_sq_fn, p, rhs, level, cycles, tol, max_cycles,
+               nu1, nu2, coarse_sweeps):
+    """Drive V-cycles either a fixed ``cycles`` count (``tol <= 0``) or until
+    the rms residual drops below ``tol`` (at least 1, at most ``max_cycles``
+    cycles, via ``lax.while_loop`` — dynamic count, no recompiles).
+
+    ``res_sq_fn(p) -> mean((A p - rhs)**2)``; sharded callers supply a
+    psum'd global mean so every shard agrees on the stopping decision."""
+
+    def one(p):
+        return vcycle(p, rhs, level, nu1, nu2, coarse_sweeps)
+
+    if tol <= 0:
+        for _ in range(cycles):
+            p = one(p)
+        return p
+
+    def body(carry):
+        p, i, _ = carry
+        p2 = one(p)
+        return p2, i + 1, res_sq_fn(p2)
+
+    def cond(carry):
+        _, i, rsq = carry
+        return (i < max_cycles) & (rsq >= jnp.float32(tol) ** 2)
+
+    p, _, _ = jax.lax.while_loop(
+        cond, body, (p, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2",
+                                             "coarse_sweeps", "tol",
+                                             "max_cycles"))
 def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
-                      coarse_sweeps: int = 20):
+                      coarse_sweeps: int = 20, tol: float = 0.0,
+                      max_cycles: int = 8):
     """Multigrid solve of the pressure system from p=0 (same system and
-    start state as ops.ref.pressure_solve, far better converged)."""
+    start state as ops.ref.pressure_solve, far better converged).
+
+    ``tol > 0`` switches from a fixed ``cycles`` count to residual-targeted
+    stopping: cycles run until rms(A p + div) < tol (cap ``max_cycles``)."""
     h, w = div.shape
     lv = _levels(h, w)
     rhs = -div
-    p = jnp.zeros_like(div)
-    for _ in range(cycles):
-        p = _vcycle(p, rhs, lv, nu1, nu2, coarse_sweeps)
-    return p
+
+    def res_sq(p):
+        r = _apply_a(p) - rhs
+        return jnp.mean(r * r)
+
+    return run_cycles(_vcycle, res_sq, jnp.zeros_like(div), rhs, lv,
+                      cycles, tol, max_cycles, nu1, nu2, coarse_sweeps)
 
 
 def residual_norm(p, div):

@@ -245,11 +245,14 @@ def pressure_solve(div: Array, iters: int) -> Array:
     return p
 
 
-def pressure_solve_mg(div: Array, cycles: int = 2) -> Array:
-    """Multigrid pressure solve (beyond-parity fast mode; ops/multigrid.py)."""
+def pressure_solve_mg(div: Array, cycles: int = 2, tol: float = 0.0,
+                      max_cycles: int = 8) -> Array:
+    """Multigrid pressure solve (beyond-parity fast mode; ops/multigrid.py).
+    ``tol > 0`` runs cycles until rms(A p + div) < tol instead of a fixed
+    count (cap ``max_cycles``)."""
     from cudafluidsimulation_tpu.ops.multigrid import pressure_solve_mg as mg
 
-    return mg(div, cycles=cycles)
+    return mg(div, cycles=cycles, tol=tol, max_cycles=max_cycles)
 
 
 def project(u: Array, v: Array, p: Array) -> Tuple[Array, Array]:

@@ -390,9 +390,11 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             left -= k
         return p
 
-    def pressure_solve_mg(div, cycles):
+    def pressure_solve_mg(div, cycles, tol=0.0, max_cycles=8):
         """2-D-sharded V-cycle: burst smoothing, global level hierarchy,
-        sub-cap levels all-gathered along BOTH axes (tiny at that depth)."""
+        sub-cap levels all-gathered along BOTH axes (tiny at that depth).
+        ``tol > 0`` targets the GLOBAL rms residual (psum'd over both mesh
+        axes, so every shard stops together)."""
         from cudafluidsimulation_tpu.ops import multigrid as mg
 
         hl, wl = div.shape
@@ -423,13 +425,19 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             # edges match the single-chip pad exactly
             return mg.bilinear_from_padded(_x2d(e_c, 1, edge="clamp"))
 
-        vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                   bottom_fn=bottom, prolong_fn=_mg_prolong)
+        vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
+                                         bottom_fn=bottom,
+                                         prolong_fn=_mg_prolong)
         rhs = -div
-        p = jnp.zeros_like(div)
-        for _ in range(cycles):
-            p = vcycle(p, rhs, min(level, local_cap), 2, 2, 20)
-        return p
+
+        def res_sq(p):
+            r = apply_a(p) - rhs
+            s = lax.psum(jnp.sum(r * r), (row_axis, col_axis))
+            return s / (h_global * w_global)
+
+        return mg.run_cycles(vcycle, res_sq, jnp.zeros_like(div), rhs,
+                             min(level, local_cap), cycles, tol, max_cycles,
+                             2, 2, 20)
 
     # -- pointwise stages ---------------------------------------------------------
 

@@ -459,7 +459,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             left -= k
         return p
 
-    def pressure_solve_mg(div, cycles):
+    def pressure_solve_mg(div, cycles, tol=0.0, max_cycles=8):
         """Sharded V-cycle multigrid: the shared numerics from
         ops.multigrid.make_vcycle with this path's ppermute halo-exchange
         neighborhood and the burst smoother above.  The level hierarchy is
@@ -467,7 +467,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         solver; once a shard's rows stop halving, the remaining (tiny)
         coarse levels are all-gathered onto every device and continued with
         the single-chip V-cycle — the full hierarchy is level-equivalent to
-        the single-chip solver at any shard count."""
+        the single-chip solver at any shard count.  ``tol > 0`` targets the
+        GLOBAL rms residual (psum'd, so every shard stops together)."""
         from cudafluidsimulation_tpu.ops import multigrid as mg
 
         hl, w = div.shape
@@ -498,13 +499,18 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             return mg.bilinear_from_padded(
                 jnp.pad(ep, ((0, 0), (1, 1)), mode="edge"))
 
-        vcycle, _ = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                   bottom_fn=bottom, prolong_fn=_mg_prolong)
+        vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
+                                         bottom_fn=bottom,
+                                         prolong_fn=_mg_prolong)
         rhs = -div
-        p = jnp.zeros_like(div)
-        for _ in range(cycles):
-            p = vcycle(p, rhs, min(level, local_cap), 2, 2, 20)
-        return p
+
+        def res_sq(p):
+            r = apply_a(p) - rhs
+            return lax.psum(jnp.sum(r * r), axis_name) / (h_global * w)
+
+        return mg.run_cycles(vcycle, res_sq, jnp.zeros_like(div), rhs,
+                             min(level, local_cap), cycles, tol, max_cycles,
+                             2, 2, 20)
 
     ns.pressure_solve = pressure_solve
     ns.pressure_solve_mg = pressure_solve_mg

@@ -1,9 +1,11 @@
 """Live browser viewer: HTTP multipart-PNG streaming.
 
 The reference displays the fluid in an OpenGL window (Main.cpp:166-180);
-headless TPU hosts have no display, so this serves the live view to ANY
-browser on the network as a ``multipart/x-mixed-replace`` PNG stream (the
-MJPEG idiom).  Push is a frame copy; PNG encoding happens lazily in the
+headless TPU hosts have no display, so this serves the live view to a
+browser as a ``multipart/x-mixed-replace`` PNG stream (the MJPEG idiom).
+The server binds 127.0.0.1 by default — the ``/input`` route accepts
+impulses and a quit request, so exposing it to the network
+(``host="0.0.0.0"`` / CLI ``--http-host 0.0.0.0``) is deliberately opt-in.  Push is a frame copy; PNG encoding happens lazily in the
 viewer's connection thread (cached per frame), so the simulation thread
 never pays for encoding — with no viewer attached a push costs one memcpy.
 The native backend is native/httpview.cpp (auto-built like the frame sink);
@@ -67,7 +69,8 @@ PAGE_HTML = (
 
 def _bind(lib: ctypes.CDLL) -> None:
     lib.hv_open.restype = ctypes.c_void_p
-    lib.hv_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.hv_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_char_p]
     lib.hv_port.restype = ctypes.c_int
     lib.hv_port.argtypes = [ctypes.c_void_p]
     lib.hv_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -100,7 +103,8 @@ class _PyHttpView:
     client's handler thread (cached per frame), stream handlers observe a
     closing flag so close() leaks no threads."""
 
-    def __init__(self, port: int, width: int, height: int):
+    def __init__(self, port: int, width: int, height: int,
+                 host: str = "127.0.0.1"):
         import http.server
         import socketserver
 
@@ -214,7 +218,7 @@ class _PyHttpView:
         class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
             daemon_threads = True
 
-        self._srv = Server(("0.0.0.0", port), Handler)
+        self._srv = Server((host, port), Handler)
         self.port = self._srv.server_address[1]
         self._thread = threading.Thread(target=self._srv.serve_forever,
                                         daemon=True)
@@ -260,27 +264,32 @@ class HttpViewer:
     """Frame sink that serves a live multipart-PNG stream over HTTP.
 
     ``port=0`` binds an ephemeral port (read ``.port``/``.url``).  Pushing
-    never blocks on viewers; slow clients skip frames (latest-wins)."""
+    never blocks on viewers; slow clients skip frames (latest-wins).
+
+    ``host`` defaults to loopback; pass ``"0.0.0.0"`` to accept remote
+    browsers (opt-in: ``/input`` steers and can quit the session)."""
 
     def __init__(self, port: int = 0, width: int = 0, height: int = 0,
-                 force_python: bool = False):
+                 force_python: bool = False, host: str = "127.0.0.1"):
         self._w, self._h = width, height
+        self._host = host
         self._lib = None if force_python else _load()
         self._handle = None
         self._py = None
         if self._lib is not None and width and height:
             self._open_native(port)
         elif width and height:
-            self._py = _PyHttpView(port, width, height)
+            self._py = _PyHttpView(port, width, height, host=host)
         self._want_port = port
 
     def _open_native(self, port: int) -> None:
         self._handle = ctypes.c_void_p(
-            self._lib.hv_open(port, self._w, self._h))
+            self._lib.hv_open(port, self._w, self._h,
+                              self._host.encode("ascii")))
         if self._lib.hv_port(self._handle) == 0:
             self._lib.hv_close(self._handle)  # bind failed
             self._handle = None
-            self._py = _PyHttpView(port, self._w, self._h)
+            self._py = _PyHttpView(port, self._w, self._h, host=self._host)
         else:
             self._lib.hv_set_page(self._handle, PAGE_HTML)
 
@@ -292,20 +301,20 @@ class HttpViewer:
 
     @property
     def url(self) -> str:
-        """Local URL; both backends bind 0.0.0.0, so remote browsers reach
-        the same port via this host's address (see ``urls``)."""
         return f"http://localhost:{self.port}/"
 
     @property
     def urls(self) -> list:
-        """All likely-reachable URLs (localhost + this host's addresses)."""
+        """All likely-reachable URLs: just localhost on the (default)
+        loopback bind; plus this host's addresses when bound wider."""
         import socket
 
         hosts = ["localhost"]
-        try:
-            hosts.append(socket.gethostbyname(socket.gethostname()))
-        except OSError:
-            pass
+        if self._host not in ("127.0.0.1", "localhost", "::1"):
+            try:
+                hosts.append(socket.gethostbyname(socket.gethostname()))
+            except OSError:
+                pass
         return [f"http://{h}:{self.port}/" for h in dict.fromkeys(hosts)]
 
     @property

@@ -4,10 +4,17 @@ The reference accumulates running averages around every stage of the ACTUAL
 run (cpuFluidSim.cpp:329-385, GPUFluidSim.cu:609-712) and prints them at
 exit.  The TPU production path must not sync per stage (it would drain the
 pipeline), so `Simulation.stage_timings` samples stages out-of-band instead.
-This module provides the faithful in-run variant for diagnostics: it wraps
-the op namespace so every op call blocks and bills its wall time to the
-reference's stage buckets, then drives the REAL pipeline (make_step, un-jit)
-step by step.  Slow by design — use for stage attribution, not production.
+This module provides the DECOMPOSED in-run variant for diagnostics (CLI
+``--report-mode decomposed``): it wraps the op namespace so every op call
+blocks and bills its wall time to the reference's stage buckets, and splits
+the fused production ops (pressure_project, diffuse_multi_splat,
+advect_both) back into their unfused sub-ops so the reference's per-stage
+buckets (GPUFluidSim.cu:609-712) stay meaningful.  That decomposition is the
+point AND the caveat: the timed kernels pay per-stage HBM round trips the
+fused production step does not, so totals here exceed the production step
+time — use ``Simulation.stage_timings`` (CLI ``--report-mode sampled``) for
+timings of the ops the pipeline actually runs.  Slow by design (un-jitted,
+per-op blocking) — use for stage attribution, not production.
 """
 
 from __future__ import annotations
@@ -85,8 +92,17 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
         totals["Force"] = totals.get("Force", 0.0) + time.perf_counter() - t0
         return out
 
+    def advect_both(u, v, dye, dt, decay_rate):
+        # decompose the (optional, sharded-namespace) fused advection through
+        # the wrapped sub-ops so Advect billing survives namespace patching —
+        # same rule as the pressure_project/diffuse_multi_splat decompositions
+        u2, v2 = ns.advect_velocity(u, v, dt, decay_rate)
+        return u2, v2, ns.advect_dye(dye, u2, v2, dt, decay_rate)
+
     ns.pressure_project = pressure_project
     ns.diffuse_multi_splat = diffuse_multi_splat
+    if hasattr(base, "advect_both"):
+        ns.advect_both = advect_both
     return ns
 
 

@@ -23,7 +23,13 @@
 //                p = button held; q=1 requests quit) -> 204
 //
 // C ABI (used from Python via ctypes):
-//   hv_open(port, w, h) -> handle   (port 0 = ephemeral; see hv_port)
+//   hv_open(port, w, h, host) -> handle
+//                                   (port 0 = ephemeral; see hv_port.
+//                                   host = dotted-quad bind address; NULL or
+//                                   "" = 0.0.0.0.  Callers default to
+//                                   127.0.0.1 — the /input route accepts
+//                                   impulses and quit, so exposing the
+//                                   server beyond loopback is opt-in)
 //   hv_port(handle)                 actual bound port, 0 on bind failure
 //   hv_set_page(handle, html)       override the "/" page (the canonical
 //                                   page lives in utils/http_view.py)
@@ -133,14 +139,20 @@ struct HttpView {
   std::vector<int> conn_fds;
   int active = 0;
 
-  bool bind_listen(int want_port) {
+  bool bind_listen(int want_port, const char* host) {
     listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
     if (listen_fd < 0) return false;
     int one = 1;
     setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
-    addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    if (host == nullptr || *host == '\0') {
+      addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    } else if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+      ::close(listen_fd);
+      listen_fd = -1;
+      return false;
+    }
     addr.sin_port = htons(uint16_t(want_port));
     if (::bind(listen_fd, (sockaddr*)&addr, sizeof(addr)) != 0 ||
         ::listen(listen_fd, 8) != 0) {
@@ -330,11 +342,11 @@ struct HttpView {
 
 extern "C" {
 
-void* hv_open(int port, int w, int h) {
+void* hv_open(int port, int w, int h, const char* host) {
   auto* s = new HttpView();
   s->w = w;
   s->h = h;
-  if (!s->bind_listen(port)) {
+  if (!s->bind_listen(port, host)) {
     s->port = 0;  // caller checks hv_port() == 0
     return s;
   }

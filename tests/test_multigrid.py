@@ -65,6 +65,68 @@ def test_pipeline_with_multigrid_reduces_divergence():
     assert dm < dj
 
 
+def test_mg_tol_reaches_target(rng):
+    """Residual-targeted stopping: the returned iterate meets the tol that a
+    known cycle count can reach, and a loose tol stops earlier (solution
+    matches fewer fixed cycles)."""
+    div = rng.standard_normal((128, 128)).astype(np.float32)
+    div = jnp.asarray(div - div.mean())
+    r1 = float(residual_norm(pressure_solve_mg(div, cycles=1), div))
+    r2 = float(residual_norm(pressure_solve_mg(div, cycles=2), div))
+    # tol between r2 and r1 -> exactly 2 cycles -> bitwise equal to cycles=2
+    tol = 0.5 * (r1 + r2) if r1 > r2 else r1
+    p_tol = pressure_solve_mg(div, tol=float(tol), max_cycles=8)
+    assert float(residual_norm(p_tol, div)) < tol
+    # stopped after exactly 2 cycles (same iterate as the fixed count; the
+    # while_loop body may fuse differently, so compare numerically)
+    np.testing.assert_allclose(np.asarray(p_tol),
+                               np.asarray(pressure_solve_mg(div, cycles=2)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mg_tol_respects_max_cycles(rng):
+    """An unreachable tol stops at max_cycles (bitwise the fixed-count
+    solution) instead of looping."""
+    div = rng.standard_normal((64, 64)).astype(np.float32)
+    div = jnp.asarray(div - div.mean())
+    p_cap = pressure_solve_mg(div, tol=1e-20, max_cycles=3)
+    np.testing.assert_allclose(np.asarray(p_cap),
+                               np.asarray(pressure_solve_mg(div, cycles=3)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mg_tol_in_pipeline():
+    cfg = FluidConfig.gpu_reference(nx=128, ny=128, backend="ref",
+                                    pressure_solver="multigrid", mg_tol=0.05,
+                                    vorticity=0.5, force_scale=500.0)
+    sim = Simulation(cfg)
+    imp = constant_impulse(10, 1 / 60, pos=(64.0, 64.0), last_pos=(60.0, 62.0))
+    st = sim.run(sim.init(), imp)
+    assert np.isfinite(np.asarray(st.u)).all()
+    r = float(residual_norm(st.pressure,
+                            ref.divergence(st.u, st.v, True)))
+    # the state's pressure solved the PRE-projection divergence to tol; the
+    # post-state residual just needs to be finite and small-ish
+    assert np.isfinite(r)
+
+
+def test_quality_preset_config():
+    cfg = FluidConfig.quality(nx=256, ny=256)
+    assert cfg.pressure_solver == "multigrid"
+    assert cfg.mg_tol == 0.05
+    assert cfg.max_displacement == 31
+    # overrides win
+    cfg2 = FluidConfig.quality(nx=256, ny=256, max_displacement=15)
+    assert cfg2.max_displacement == 15
+
+
+def test_invalid_mg_tol_rejected():
+    with pytest.raises(ValueError, match="mg_tol"):
+        FluidConfig.gpu_reference(pressure_solver="multigrid", mg_tol=-1.0)
+    with pytest.raises(ValueError, match="mg_max_cycles"):
+        FluidConfig.gpu_reference(pressure_solver="multigrid", mg_max_cycles=0)
+
+
 def test_invalid_solver_rejected():
     with pytest.raises(ValueError):
         FluidConfig.gpu_reference(pressure_solver="conjugate-gradient")

@@ -85,3 +85,65 @@ def test_shardmap_multigrid_below_shard_cap():
             np.asarray(getattr(st_single, name)),
             atol=3e-4, rtol=1e-4, err_msg=name,
         )
+
+
+@requires_multidevice
+def test_shardmap_multigrid_tol_matches_single_device():
+    """Residual-targeted stopping on the rows mesh: the psum'd global
+    residual must make every shard stop at the same cycle count the
+    single-chip solver picks, so the results agree."""
+    cfg = FluidConfig.gpu_reference(
+        nx=128, ny=128, backend="ref", diffusion_iters=3,
+        pressure_solver="multigrid", mg_tol=0.02, mg_max_cycles=6,
+        vorticity=0.5, force_scale=500.0,
+    )
+    mesh = make_mesh(8, ens=1)
+    sim = Simulation(cfg)
+    imp = orbit_impulse(3, cfg.dt, center=(64.0, 64.0), radius=16.0)
+
+    st_single = sim.init()
+    st_shard = shard_state(init_state(cfg), mesh)
+    sstep = make_shardmap_step(cfg, mesh)
+    for i in range(3):
+        one = slice_step(imp, i)
+        st_single = sim.step(st_single, one)
+        st_shard = sstep(st_shard, one)
+
+    for name in ("u", "v", "dye", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_shard, name)),
+            np.asarray(getattr(st_single, name)),
+            atol=3e-4, rtol=1e-3, err_msg=name,
+        )
+
+
+@requires_multidevice
+def test_shardmap2d_multigrid_tol_matches_single_device():
+    """Same check on the 2-D (rows x cols) mesh (psum over both axes)."""
+    from cudafluidsimulation_tpu.parallel.shardmap2d import (
+        make_mesh2d, make_shardmap2d_step, shard_state_2d,
+    )
+
+    cfg = FluidConfig.gpu_reference(
+        nx=128, ny=128, backend="ref", diffusion_iters=3,
+        pressure_solver="multigrid", mg_tol=0.02, mg_max_cycles=6,
+        vorticity=0.5, force_scale=500.0, max_displacement=15,
+    )
+    mesh = make_mesh2d(2, 4)
+    sim = Simulation(cfg)
+    imp = orbit_impulse(3, cfg.dt, center=(64.0, 64.0), radius=16.0)
+
+    st_single = sim.init()
+    st_shard = shard_state_2d(init_state(cfg), mesh)
+    sstep = make_shardmap2d_step(cfg, mesh)
+    for i in range(3):
+        one = slice_step(imp, i)
+        st_single = sim.step(st_single, one)
+        st_shard = sstep(st_shard, one)
+
+    for name in ("u", "v", "dye", "pressure"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_shard, name)),
+            np.asarray(getattr(st_single, name)),
+            atol=3e-4, rtol=1e-3, err_msg=name,
+        )
