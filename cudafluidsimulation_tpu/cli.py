@@ -147,6 +147,14 @@ def _clamp_warning(cfg, state, mesh: str):
     from cudafluidsimulation_tpu.utils import health
 
     axes = health.clamp_axes(cfg.resolve_backend(), mesh)
+    if axes == "y" and cfg.resolve_backend() == "pallas":
+        # wide grids run the column-tiled advect kernel, which bounds
+        # horizontal taps at d too (ops/advect_pallas.py module docstring)
+        from cudafluidsimulation_tpu.ops import advect_pallas
+
+        if advect_pallas.uses_column_tiling(cfg.ny, cfg.nx, 3,
+                                            cfg.max_displacement):
+            axes = "xy"
     if not axes:
         return None
     finite, speed, dye, au, av = health._health_stats(state)
@@ -172,6 +180,13 @@ def _enable_compile_cache():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    platform = os.environ.get("CUDAFLUIDSIM_PLATFORM")
+    if platform:
+        # env vars like JAX_PLATFORMS are latched pre-import by container
+        # sitecustomize hooks; a config update after import always works
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     _enable_compile_cache()
 
     from cudafluidsimulation_tpu import FluidConfig, Simulation

@@ -20,15 +20,27 @@ this strip design in both quiet and dispersed regimes — see git history.)
 
 The VERTICAL displacement each step is bounded by ``max_displacement`` (D)
 cells: taps farther than D rows from the target clamp to +/-D rows (the
-y halo is only D deep).  Horizontal taps are UNBOUNDED — the whole strip
-width is VMEM-resident, so |vx|*dt of any size is exact.  The reference's
-backtrace is unbounded in both axes, so results differ only where
-|vy| * dt > D cells; the ref backend remains the exact-parity oracle, and
-the dynamic windows mean raising D costs nothing when the flow is slow
+y halo is only D deep).  On the FLAT path horizontal taps are UNBOUNDED —
+the whole strip width is VMEM-resident, so |vx|*dt of any size is exact.
+The reference's backtrace is unbounded in both axes, so results differ only
+where |vy| * dt > D cells; the ref backend remains the exact-parity oracle,
+and the dynamic windows mean raising D costs nothing when the flow is slow
 (only halo HBM traffic grows, ~hd/r per plane).
 
 Grid iterates over row strips with an hd-deep halo (hd = D+1 rounded up to
 the 8-row sublane tile), same blocked layout as jacobi_pallas.
+
+Column tiling (wide grids): very wide rows starve the strip geometry — at
+w=8192 even the 2-channel kernel fell to one-channel-per-program r=16
+strips with a 2/3 halo fraction (round-2's 175 ms/step 8192² suspect), and
+at 2048² the d=31 exact bound pushed dye to the same fallback.  When
+:func:`_tile_plan` decides flat geometry is poor, ONE pallas launch runs a
+(channels, strips, tiles) grid where each program sees its tile through a
+3x3 halo-block assembly (row lo/mid/hi x col lo/mid/hi BlockSpecs of the
+same array — no materialized tiled copy, no per-tile launches).  Horizontal
+taps are then bounded at D cells too (the col halo depth), the same
+contract as the vertical bound; health.clamp_axes / the CLI clamp warning
+report it, and :func:`uses_column_tiling` exposes the decision.
 """
 
 from __future__ import annotations
@@ -41,33 +53,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _SUBLANE = 8
+_LANES = 128
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
-                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, d_x,
-                   c):
-    i = pl.program_id(1)
-    dt = dt_ref[0, 0]
-    # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
-    # when a shard_map caller advects a halo-padded local view of a global
-    # field); offsets dx/dy below stay local because translation cancels
-    y0 = i * r + y0_ref[0, 0]
-    x0 = x0_ref[0, 0]
+def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
+                 r, hd, d, d_x, c, wt):
+    """The shared masked-shift-accumulation loop.
+
+    ``u``/``v``: (r, wt) velocity at the output cells.  ``ext``: the
+    (c, r + 2*hd, wt + 2*wd) tap neighborhood whose core starts at row hd,
+    col wd (wd = 0 on the flat path).  ``y0``/``x0``: GLOBAL coordinates of
+    the output block's first row/col.  Returns the (c, r, wt) output."""
     he = r + 2 * hd
+    wext = ext.shape[2]
+    wd = (wext - wt) // 2
 
-    ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
-
-    ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0) + y0
-    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1) + x0
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 0) + y0
+    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 1) + x0
     ys_f = ys_i.astype(jnp.float32)
     xs_f = xs_i.astype(jnp.float32)
 
-    u = u_ref[:]
-    v = v_ref[:]
     # departure points pos = (x, y) - dt*vel; corner via C-style truncation
     # (cpuFluidSim.cpp:110-155 semantics, incl. tx<0 extrapolation)
     px = xs_f - dt * u
@@ -86,12 +95,11 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
 
     dy1 = jnp.clip(cy1 - ys_i, -d, d)
     dy2 = jnp.clip(cy2 - ys_i, -d, d)
-    # Single-chip (d_x = w-1): x offsets are effectively unbounded — the
-    # whole strip width lives in VMEM, so horizontal taps are exact for
-    # arbitrary |vx|*dt (cx is domain-clamped, hence |dx| < w).  On an
-    # x-sharded local view the caller only exchanged d halo columns, so
-    # d_x = d clamps taps to the available data (same semantics as the
-    # vertical bound).
+    # Flat path (d_x = full width): x offsets are effectively unbounded —
+    # the whole strip width lives in VMEM, so horizontal taps are exact for
+    # arbitrary |vx|*dt (cx is domain-clamped, hence |dx| < w).  Column
+    # tiles and x-sharded local views only hold d_x halo columns, so taps
+    # clamp there (same semantics as the vertical bound).
     dx1 = jnp.clip(cx1 - xs_i, -d_x, d_x)
     dx2 = jnp.clip(cx2 - xs_i, -d_x, d_x)
 
@@ -115,8 +123,8 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
         # cellwise extrema are dx1/dx2; empty masks yield lo > hi and the
         # fori_loop runs zero iterations.)
         active = (dy1 == dy) | (dy2 == dy)
-        dxlo = jnp.min(jnp.where(active, dx1, w - 1))
-        dxhi = jnp.max(jnp.where(active, dx2, -(w - 1)))
+        dxlo = jnp.min(jnp.where(active, dx1, d_x))
+        dxhi = jnp.max(jnp.where(active, dx2, -d_x))
 
         # rows y+dy of the strip: roll rows by -dy, slice the core.
         # |dy| <= d <= hd so selected rows never wrap.
@@ -128,26 +136,67 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
                 jnp.where(dx1 == dx, 1.0 - tx, 0.0)
                 + jnp.where(dx2 == dx, tx, 0.0)
             )
-            acc = acc + (wx * wy)[None] * rcur
+            acc = acc + (wx * wy)[None] * rcur[:, :, :wt]
             # advance to the next offset with a cheap static single-lane
             # shift instead of a fresh arbitrary dynamic rotate (a slice-
             # concat wrap shift measured the same here)
-            return acc, pltpu.roll(rcur, w - 1, axis=2)
+            return acc, pltpu.roll(rcur, wext - 1, axis=2)
 
-        r0 = pltpu.roll(core, jnp.mod(w - dxlo, w), axis=2)
+        # align ext column (wd + dxlo) onto output column 0; on column
+        # tiles |dx| <= d <= wd keeps every tap in-bounds, on the flat
+        # path (wd = 0) wrapped columns are masked out by wx
+        r0 = pltpu.roll(core, jnp.mod(wext - wd - dxlo, wext), axis=2)
         acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
         return acc
 
     acc = jax.lax.fori_loop(
-        dylo, dyhi + 1, dy_body, jnp.zeros((c, r, w), jnp.float32)
+        dylo, dyhi + 1, dy_body, jnp.zeros((c, r, wt), jnp.float32)
     )
 
     decay = 1.0 / (1.0 + decay_rate * dt)
     if mode == "dye":
         # fmin: C fminf(1, NaN) -> 1.0 (see ops.ref.advect_dye)
-        out[...] = jnp.fmin(1.0, jnp.power(acc, 1.005) * decay)
-    else:
-        out[...] = acc * decay
+        return jnp.fmin(1.0, jnp.power(acc, 1.005) * decay)
+    return acc * decay
+
+
+def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
+                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, d_x,
+                   c):
+    i = pl.program_id(1)
+    # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
+    # when a shard_map caller advects a halo-padded local view of a global
+    # field); offsets dx/dy below stay local because translation cancels
+    ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
+    out[...] = _advect_core(
+        dt_ref[0, 0], i * r + y0_ref[0, 0], x0_ref[0, 0],
+        u_ref[:], v_ref[:], ext,
+        mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
+        r=r, hd=hd, d=d, d_x=d_x, c=c, wt=w,
+    )
+
+
+def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
+                         f_mm, f_ml, f_mh, f_lm, f_ll, f_lh,
+                         f_hm, f_hl, f_hh, out,
+                         *, mode, decay_rate, h, h_phys, w_phys, r, hd, d,
+                         c, wt, wd):
+    """Column-tiled program: the tap neighborhood arrives as a 3x3 halo
+    block assembly (rows lo/mid/hi x cols lo/mid/hi of the same field
+    array), so one launch covers the whole (channels, strips, tiles) grid
+    with no materialized tiled copy.  Horizontal taps bound at d <= wd."""
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    top = jnp.concatenate([f_ll[:], f_lm[:], f_lh[:]], axis=2)
+    mid = jnp.concatenate([f_ml[:], f_mm[:], f_mh[:]], axis=2)
+    bot = jnp.concatenate([f_hl[:], f_hm[:], f_hh[:]], axis=2)
+    ext = jnp.concatenate([top, mid, bot], axis=1)  # (c, he, wt + 2*wd)
+    out[...] = _advect_core(
+        dt_ref[0, 0], i * r + y0_ref[0, 0], t * wt + x0_ref[0, 0],
+        u_ref[:], v_ref[:], ext,
+        mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
+        r=r, hd=hd, d=d, d_x=d, c=c, wt=wt,
+    )
 
 
 def _halo(d: int) -> int:
@@ -156,40 +205,51 @@ def _halo(d: int) -> int:
     return max(_SUBLANE, -(-(d + 1) // _SUBLANE) * _SUBLANE)
 
 
-def _footprint(r: int, w: int, c: int, hd: int) -> int:
+# VMEM planning budget for one program's working set (v5e has ~16 MiB/core;
+# the margin covers Mosaic's own scratch).  Module global so the probe
+# scripts can sweep it — see scripts/advect_probe2.py and docs/ROADMAP.md.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _footprint(r: int, w: int, c: int, hd: int, wt: int = 0) -> int:
     """Estimated VMEM bytes for one program: double-buffered io blocks plus
-    the ext value, its rolled copies, and the accumulator."""
-    blocks = c * r * w + 2 * c * hd * w + 2 * r * w + c * r * w
+    the ext value, its rolled copies, and the accumulator.  ``wt`` > 0 means
+    a column tile: blocks cover (r x wt) cores + halo strips of total width
+    w - wt, the loop values still span the full ext width ``w``."""
+    wt = wt or w
+    # io blocks: field core+halos, u/v core planes, out core
+    blocks = (c * (r * wt + (w - wt) * r + 2 * hd * w)
+              + 2 * r * wt + c * r * wt)
     # live values: ext + one rolled copy + accumulator (rolls reuse buffers)
-    values = 2 * c * (r + 2 * hd) * w + c * r * w
+    values = 2 * c * (r + 2 * hd) * w + c * r * wt
     return 4 * (2 * blocks + values)
 
 
-def _pick_rows(h: int, w: int, c: int, hd: int) -> int:
+def _pick_rows(h: int, w: int, c: int, hd: int, wt: int = 0) -> int:
     """Largest strip height that divides h, is a MULTIPLE OF THE HALO DEPTH
     (the lo/hi halo index maps address hd-row blocks at i*(r//hd)-1, which is
     only the right offset when hd | r), and fits in VMEM."""
-    budget = 10 * 1024 * 1024
+    budget = _VMEM_BUDGET
     r = 256
     while r >= hd:
-        if h % r == 0 and r % hd == 0 and _footprint(r, w, c, hd) <= budget:
+        if h % r == 0 and r % hd == 0 and _footprint(r, w, c, hd, wt) <= budget:
             return r
         r -= hd
     return 0
 
 
-def _pad_geometry(h: int, w: int, c: int, hd: int):
+def _pad_geometry(h: int, w: int, c: int, hd: int, wt: int = 0):
     """(h_pad, w_pad, r, c_block): zero-padded geometry for arbitrary grids.
     Unlike the Jacobi mirror padding this needs no re-fill invariant — padded
     cells are never tap targets (taps clamp to the physical domain), so zeros
     suffice and any pad amount works.  Very wide grids that cannot fit all
     channels in VMEM at once fall back to one-channel-per-program
     (c_block=1; positions/weights are recomputed per channel)."""
-    w_pad = -(-w // 128) * 128
+    w_pad = -(-w // _LANES) * _LANES
     for c_block in ([c, 1] if c > 1 else [1]):
         h_try = -(-h // hd) * hd
         while h_try <= 4 * h + 8 * hd:
-            r = _pick_rows(h_try, w_pad, c_block, hd)
+            r = _pick_rows(h_try, w_pad, c_block, hd, wt)
             if r >= hd:
                 return h_try, w_pad, r, c_block
             h_try += hd
@@ -204,6 +264,62 @@ def supported(h: int, w: int, c: int, d: int) -> bool:
         return True
     except ValueError:
         return False
+
+
+def _tile_cost(r: int, cb: int, c: int, hd: int, wt: int, wd: int,
+               t_cnt: int) -> float:
+    """Relative per-cell cost model for a geometry choice, validated by
+    on-chip probes (scripts/advect_probe2.py): the dy-loop roll work scales
+    with the ext width (wt + 2*wd) and ext rows (r + 2*hd), the weight
+    computation is recomputed per channel-program when cb < c, and each
+    extra grid dimension step has a small fixed cost."""
+    width_over = (wt + 2.0 * wd) / wt
+    row_over = (r + 2.0 * hd) / r
+    chan_over = 1.0 + 0.5 * (c / cb - 1.0)
+    return width_over * row_over * chan_over * (1.0 + 0.01 * t_cnt)
+
+
+def _tile_plan(h: int, w: int, c: int, d: int):
+    """Column-tiling plan, or None to run the flat kernel.  Returns
+    (wt, wd, t_cnt, r, cb): tile width, halo cols, tile count, strip rows,
+    channel block.  Engages only when it beats the flat geometry's modeled
+    cost by >10% (hysteresis keeps narrow/normal grids on the exact-x flat
+    path)."""
+    hd = _halo(d)
+    try:
+        _, wp, r_f, cb_f = _pad_geometry(h, w, c, hd)
+    except ValueError:
+        return None
+    if cb_f == c and r_f >= 2 * hd:
+        # flat geometry is healthy: keep the exact-x semantics (tiling only
+        # rescues geometries the flat kernel already serves poorly)
+        return None
+    flat_cost = _tile_cost(r_f, cb_f, c, hd, wp, 0, 1)
+    wd = -(-max(d, 1) // _LANES) * _LANES
+    best = None
+    lanes = wp // _LANES
+    for t_cnt in range(2, lanes + 1):
+        if lanes % t_cnt:
+            continue
+        wt = wp // t_cnt
+        if wt % wd or wt < 2 * wd:
+            continue
+        try:
+            hp, _, r_t, cb_t = _pad_geometry(h, wt + 2 * wd, c, hd, wt=wt)
+        except ValueError:
+            continue
+        cost = _tile_cost(r_t, cb_t, c, hd, wt, wd, t_cnt)
+        if cost < 0.9 * flat_cost and (best is None or cost < best[0]):
+            best = (cost, wt, wd, t_cnt, r_t, cb_t)
+    if best is None:
+        return None
+    return best[1:]
+
+
+def uses_column_tiling(h: int, w: int, c: int, d: int) -> bool:
+    """True when :func:`advect` will column-tile this geometry (horizontal
+    taps then bound at d like the vertical ones — see health.clamp_axes)."""
+    return _tile_plan(h, w, c, d) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d",
@@ -221,10 +337,20 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     GLOBAL extents used for tap clamping; 0 means "this array is the whole
     domain".  ``d_x`` bounds horizontal tap offsets (x-sharded local views
     pass their exchanged halo depth); 0 means unbounded (full strip width
-    is resident)."""
+    is resident) — except on wide grids where the column-tiled path engages
+    (see module docstring) and bounds horizontal taps at d."""
     c, h, w = fields.shape
-    if h_phys == 0:
-        h_phys = h
+    plan = _tile_plan(h, w, c, d) if d_x == 0 else None
+    if plan is not None:
+        return _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
+                             y0, h_phys or h, x0, w_phys or w, plan)
+    return _advect_flat(fields, u, v, dt, decay_rate, mode, d, y0,
+                        h_phys or h, x0, w_phys or w, d_x)
+
+
+def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
+                 y0, h_phys, x0, w_phys, d_x):
+    c, h, w = fields.shape
     hd = _halo(d)
     hp, wp, r, cb = _pad_geometry(h, w, c, hd)
     if (hp, wp) != (h, w):
@@ -254,7 +380,7 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
 
     kern = functools.partial(
         _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=hp, w=wp, h_phys=h_phys, w_phys=(w_phys or w), r=r, hd=hd, d=d,
+        h=hp, w=wp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
         d_x=(d_x or wp - 1), c=cb,
     )
     smem = pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM)
@@ -266,6 +392,85 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
         out_specs=mid,
         interpret=_interpret(),
     )(dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in, fields_in, fields_in)
+    return out[:, :h, :w]
+
+
+def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
+                  y0, h_phys, x0, w_phys, plan):
+    """One (channels, strips, tiles) launch over 3x3 halo-block inputs."""
+    c, h, w = fields.shape
+    hd = _halo(d)
+    wt, wd, t_cnt, r, cb = plan
+    wp = wt * t_cnt
+    hp = -(-h // r) * r  # rows pad to whole strips; pads are never tapped
+    if (hp, wp) != (h, w):
+        pad = [(0, hp - h), (0, wp - w)]
+        fields_in = jnp.pad(fields, [(0, 0)] + pad)
+        u_in = jnp.pad(u, pad)
+        v_in = jnp.pad(v, pad)
+    else:
+        fields_in, u_in, v_in = fields, u, v
+    n_strips = hp // r
+    hblk = hp // hd
+    wblk = wp // wd
+    tw = wt // wd  # col blocks per tile
+    rh = r // hd  # row blocks per strip
+    c_grid = c // cb
+
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+    y0_arr = jnp.asarray(y0, jnp.int32).reshape(1, 1)
+    x0_arr = jnp.asarray(x0, jnp.int32).reshape(1, 1)
+
+    def rlo(i):
+        return jnp.maximum(i * rh - 1, 0)
+
+    def rhi(i):
+        return jnp.minimum((i + 1) * rh, hblk - 1)
+
+    def clo(t):
+        return jnp.maximum(t * tw - 1, 0)
+
+    def chi(t):
+        return jnp.minimum((t + 1) * tw, wblk - 1)
+
+    vm = pltpu.VMEM
+
+    def bs(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=vm)
+
+    plane = bs((r, wt), lambda ci, i, t: (i, t))
+    out_spec = bs((cb, r, wt), lambda ci, i, t: (ci, i, t))
+    f_mm = bs((cb, r, wt), lambda ci, i, t: (ci, i, t))
+    f_ml = bs((cb, r, wd), lambda ci, i, t: (ci, i, clo(t)))
+    f_mh = bs((cb, r, wd), lambda ci, i, t: (ci, i, chi(t)))
+    f_lm = bs((cb, hd, wt), lambda ci, i, t: (ci, rlo(i), t))
+    f_ll = bs((cb, hd, wd), lambda ci, i, t: (ci, rlo(i), clo(t)))
+    f_lh = bs((cb, hd, wd), lambda ci, i, t: (ci, rlo(i), chi(t)))
+    f_hm = bs((cb, hd, wt), lambda ci, i, t: (ci, rhi(i), t))
+    f_hl = bs((cb, hd, wd), lambda ci, i, t: (ci, rhi(i), clo(t)))
+    f_hh = bs((cb, hd, wd), lambda ci, i, t: (ci, rhi(i), chi(t)))
+    smem = pl.BlockSpec((1, 1), lambda ci, i, t: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    # Mosaic indexes row-halo blocks in hd rows and col-halo blocks in wd
+    # cols; both the mid and the halo specs address the SAME (c, hp, wp)
+    # array, just in different block units — pallas allows that because each
+    # spec carries its own block shape.
+    kern = functools.partial(
+        _advect_kernel_tiled, mode=mode, decay_rate=decay_rate,
+        h=hp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
+        c=cb, wt=wt, wd=wd,
+    )
+    f = fields_in
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        grid=(c_grid, n_strips, t_cnt),
+        in_specs=[smem, smem, smem, plane, plane,
+                  f_mm, f_ml, f_mh, f_lm, f_ll, f_lh, f_hm, f_hl, f_hh],
+        out_specs=out_spec,
+        interpret=_interpret(),
+    )(dt_arr, y0_arr, x0_arr, u_in, v_in, f, f, f, f, f, f, f, f, f)
     return out[:, :h, :w]
 
 

@@ -93,6 +93,191 @@ def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_stri
     out[0] = pe[hd:-hd, :]
 
 
+# ---------------------------------------------------------------------------
+# Column tiling (wide grids).  At w=8192 the flat strip geometry falls to
+# r=32 rows (he=48 -> 1.5x compute overhead vs the 2048² strips' 1.125x).
+# Splitting the width into tiles restores tall strips; each program sees its
+# tile through a 3x3 halo-block assembly.  Physical x edges are handled by
+# mirror-padding wd columns OUTSIDE the kernel (the even reflection is
+# invariant under the clamped sweep — same argument as _edge_fill — so the
+# padding needs no re-fill within a burst), which keeps every halo block a
+# plain BlockSpec read: core/top/bottom blocks come from the unpadded array
+# (tile offsets are wt-multiples there), left/right/corner blocks from the
+# padded array (offsets are wd-multiples there).  Corruption from a tile's
+# clamped ext edge travels 1 col/sweep and dies in the discarded wd >= k
+# halo, so the emitted core stays bit-exact global Jacobi.
+# ---------------------------------------------------------------------------
+
+_COL_TILE_MIN_W = 4096
+
+
+def _mirror_cols(x: jnp.ndarray, wd: int) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.flip(x[..., :wd], -1), x, jnp.flip(x[..., -wd:], -1)], axis=-1)
+
+
+def _col_plan(h_pad: int, w_pad: int, hd: int, requested: int,
+              planes: int = 4):
+    """(wt, wd, t_cnt, r) column-tiling plan for wide grids, or None.
+    Engages only when the modeled compute overhead beats the flat strips'
+    by >8% (validated on-chip — scripts/diffuse_probe.py)."""
+    if w_pad < _COL_TILE_MIN_W:
+        return None
+    wd = 128  # >= any burst depth (k <= 32) and lane-aligned
+    r_f = _pick_block_rows(h_pad, hd, w_pad, requested, planes)
+    flat_cost = (r_f + 2.0 * hd) / r_f if r_f else float("inf")
+    best = None
+    lanes = w_pad // 128
+    for t_cnt in range(2, lanes + 1):
+        if lanes % t_cnt:
+            continue
+        wt = w_pad // t_cnt
+        if wt % wd or wt < 2 * wd:
+            continue
+        r = _pick_block_rows(h_pad, hd, wt + 2 * wd, requested, planes)
+        if r == 0:
+            continue
+        cost = ((wt + 2.0 * wd) / wt) * ((r + 2.0 * hd) / r)
+        if best is None or cost < best[0]:
+            best = (cost, wt, wd, t_cnt, r)
+    if best is not None and best[0] < 0.92 * flat_cost:
+        return best[1:]
+    return None
+
+
+def _tiled_specs(h: int, w: int, r: int, hd: int, wt: int, wd: int):
+    """Block specs for the 3x3 assembly of one (C, H, W) field: mid/top/
+    bottom from the unpadded array, left/right/corners from its
+    _mirror_cols-padded twin.  Grid is (c, strips, tiles)."""
+    hblk = h // hd
+    tw = wt // wd
+
+    def rlo(i):
+        return jnp.maximum(i * (r // hd) - 1, 0)
+
+    def rhi(i):
+        return jnp.minimum((i + 1) * (r // hd), hblk - 1)
+
+    vm = pltpu.VMEM
+
+    def bs(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=vm)
+
+    unpadded = dict(
+        mm=bs((1, r, wt), lambda c, i, t: (c, i, t)),
+        tm=bs((1, hd, wt), lambda c, i, t: (c, rlo(i), t)),
+        bm=bs((1, hd, wt), lambda c, i, t: (c, rhi(i), t)),
+    )
+    padded = dict(
+        ml=bs((1, r, wd), lambda c, i, t: (c, i, t * tw)),
+        mr=bs((1, r, wd), lambda c, i, t: (c, i, (t + 1) * tw + 1)),
+        tl=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), t * tw)),
+        tr=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), (t + 1) * tw + 1)),
+        bl=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), t * tw)),
+        br=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), (t + 1) * tw + 1)),
+    )
+    out = bs((1, r, wt), lambda c, i, t: (c, i, t))
+    return unpadded, padded, out
+
+
+def _assemble_ext(mm, ml, mr, tm, tl, tr, bm, bl, br):
+    """(he, wext) ext from the 9 blocks of one channel."""
+    top = jnp.concatenate([tl[0], tm[0], tr[0]], axis=1)
+    mid = jnp.concatenate([ml[0], mm[0], mr[0]], axis=1)
+    bot = jnp.concatenate([bl[0], bm[0], br[0]], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
+                           p_br, d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm,
+                           d_bl, d_br, out, *, k, hd, n_strips, wd):
+    i = pl.program_id(1)
+    pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl, p_br)
+    de = _assemble_ext(d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm, d_bl, d_br)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    de = _edge_fill(de, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    out[0] = pe[hd:-hd, wd:-wd]
+
+
+def _diffuse_kernel_tiled(alpha_ref, amp_ref, sp_ref, f_mm, f_ml, f_mr,
+                          f_tm, f_tl, f_tr, f_bm, f_bl, f_br, out,
+                          *, k, hd, n_strips, wd, wt, splat):
+    i = pl.program_id(1)
+    alpha = alpha_ref[pl.program_id(0), 0]
+    inv_beta = 1.0 / (4.0 + alpha)
+    fe = _assemble_ext(f_mm, f_ml, f_mr, f_tm, f_tl, f_tr, f_bm, f_bl, f_br)
+    fe = _edge_fill(fe, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(fe)
+        fe = (l + r + b + t + fe * alpha) * inv_beta
+    core = fe[hd:-hd, wd:-wd]
+    if splat:
+        # fused splat tail, tiled edition: global coords from (strip, tile)
+        r_rows = core.shape[0]
+        amp = amp_ref[pl.program_id(0), 0]
+        lx = sp_ref[0, 0]
+        ly = sp_ref[1, 0]
+        rad = sp_ref[2, 0]
+        t_id = pl.program_id(2)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, wt), 0)
+              + i * r_rows).astype(jnp.float32)
+        xs = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, wt), 1)
+              + t_id * wt).astype(jnp.float32)
+        d2 = (xs - lx) ** 2 + (ys - ly) ** 2
+        core = core + amp * jnp.exp(-d2 / rad)
+    out[0] = core
+
+
+def _pressure_burst_tiled(p, d, k: int, hd: int, h: int, w: int, plan):
+    """One tiled pressure burst: (1, h, w) p, d -> (1, h, w) p'."""
+    wt, wd, t_cnt, r = plan
+    pp, dp = _mirror_cols(p, wd), _mirror_cols(d, wd)
+    unpad, padded, out = _tiled_specs(h, w, r, hd, wt, wd)
+    kern = functools.partial(_pressure_kernel_tiled, k=k, hd=hd,
+                             n_strips=h // r, wd=wd)
+    specs = [unpad["mm"], padded["ml"], padded["mr"], unpad["tm"],
+             padded["tl"], padded["tr"], unpad["bm"], padded["bl"],
+             padded["br"]]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        grid=(1, h // r, t_cnt),
+        in_specs=specs + specs,
+        out_specs=out,
+        interpret=_interpret(),
+    )(p, pp, pp, p, pp, pp, p, pp, pp,
+      d, dp, dp, d, dp, dp, d, dp, dp)
+
+
+def _diffuse_burst_tiled(f, alpha, amp_arr, sp_arr, k: int, hd: int, plan,
+                         splat: bool):
+    """One tiled diffusion burst on (C, H, W) fields (optionally with the
+    fused gpu-variant splat tail — see _diffuse_kernel)."""
+    c, h, w = f.shape
+    wt, wd, t_cnt, r = plan
+    fp = _mirror_cols(f, wd)
+    unpad, padded, out = _tiled_specs(h, w, r, hd, wt, wd)
+    kern = functools.partial(_diffuse_kernel_tiled, k=k, hd=hd,
+                             n_strips=h // r, wd=wd, wt=wt, splat=splat)
+    smem_c = pl.BlockSpec((c, 1), lambda ci, i, t: (0, 0),
+                          memory_space=pltpu.SMEM)
+    smem_3 = pl.BlockSpec((3, 1), lambda ci, i, t: (0, 0),
+                          memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        grid=(c, h // r, t_cnt),
+        in_specs=[smem_c, smem_c, smem_3, unpad["mm"], padded["ml"],
+                  padded["mr"], unpad["tm"], padded["tl"], padded["tr"],
+                  unpad["bm"], padded["bl"], padded["br"]],
+        out_specs=out,
+        interpret=_interpret(),
+    )(alpha, amp_arr, sp_arr, f, fp, fp, f, fp, fp, f, fp, fp)
+
+
 def _diffuse_kernel(alpha_ref, amp_ref, sp_ref, f_mid, f_lo, f_hi, out,
                     *, k, hd, n_strips, splat):
     i = pl.program_id(1)
@@ -238,6 +423,10 @@ def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256,
     for k, r, hd, hp, wp in _burst_schedule(iters, burst, h, w, block_rows):
         pi = _mirror_pad(p, h, w, hp, wp)
         di = _mirror_pad(d, h, w, hp, wp)
+        plan = _col_plan(hp, wp, hd, block_rows)
+        if plan is not None:
+            p = _pressure_burst_tiled(pi, di, k, hd, hp, wp, plan)[:, :h, :w]
+            continue
         mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
         kern = functools.partial(_pressure_kernel, k=k, hd=hd, n_strips=n_strips)
         p = pl.pallas_call(
@@ -496,6 +685,11 @@ def _diffuse_bursts(fields, alpha, iters, block_rows, burst, splat=None):
     for bi, (k, r, hd, hp, wp) in enumerate(schedule):
         with_splat = splat is not None and bi == len(schedule) - 1
         fi = _mirror_pad(f, h, w, hp, wp)
+        plan = _col_plan(hp, wp, hd, block_rows)
+        if plan is not None:
+            f = _diffuse_burst_tiled(fi, alpha, amp_arr, sp_arr, k, hd,
+                                     plan, with_splat)[:, :h, :w]
+            continue
         mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
         kern = functools.partial(_diffuse_kernel, k=k, hd=hd,
                                  n_strips=n_strips, splat=with_splat)

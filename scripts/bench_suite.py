@@ -172,6 +172,20 @@ def main():
          {"pressure_residual_rms": round(r_m, 4),
           "residual_vs_jacobi40": round(r_j / max(r_m, 1e-30), 1)})
 
+    # the --preset quality config: residual-targeted multigrid (rms < 0.05)
+    # + exact d=31 advection bound — one flag reproduces this row
+    cfg_q = FluidConfig.quality(nx=n, ny=n, backend="auto")
+    sim_q = Simulation(cfg_q)
+    r_q = float(residual_norm(
+        jax.jit(lambda d: pressure_solve_mg(
+            d, cfg_q.mg_cycles, tol=cfg_q.mg_tol,
+            max_cycles=cfg_q.mg_max_cycles))(div), div))
+    sec_q = timed(sim_q._jit_run, sim_q.init(), imp, reps=1)
+    emit(f"solver-frontier {n}^2 quality-preset (mg tol={cfg_q.mg_tol}, "
+         f"d={cfg_q.max_displacement})", steps, sec_q, n * n,
+         {"pressure_residual_rms": round(r_q, 4),
+          "residual_vs_jacobi40": round(r_j / max(r_q, 1e-30), 1)})
+
     # 5. sharded 8192² (needs >= 8 devices; else report dry-run scale)
     ndev = len(jax.devices())
     if ndev >= 8 and on_tpu:

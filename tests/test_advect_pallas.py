@@ -124,3 +124,109 @@ def test_strip_seam_alignment_regression(rng):
     exp = ref.advect_dye(dye, u, v, DT, 1.2)
     got = advect_pallas.advect_dye(dye, u, v, DT, 1.2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-4)
+
+
+# -- column-tiled path (wide-grid geometry rescue) ---------------------------
+
+
+def _tiled(fields, u, v, dt, decay, mode, d, plan):
+    from cudafluidsimulation_tpu.ops.advect_pallas import _advect_tiled
+
+    c, h, w = fields.shape
+    return _advect_tiled(fields, u, v, dt, decay, mode, d, 0, h, 0, w, plan)
+
+
+def test_tiled_matches_ref_within_bound(rng):
+    """Column-tiled advection with displacements within d in BOTH axes must
+    match the exact ref op (the tiles + 3x3 halo blocks reassemble the same
+    taps)."""
+    h, w, d = 64, 512, 15
+    cap = (d - 0.1) / DT
+    u = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 400.0, -cap, cap)
+    v = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 400.0, -cap, cap)
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = _tiled(dye, u, v, DT, 1.2, "dye", d,
+                 plan=(128, 128, 4, 32, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=2e-4)
+
+
+def test_tiled_matches_flat_velocity(rng):
+    """Tiled vs flat kernels agree bit-closely when both are exact (bounded
+    flow), across tile seams."""
+    from cudafluidsimulation_tpu.ops.advect_pallas import _advect_flat
+
+    h, w, d = 64, 512, 15
+    cap = (d - 0.1) / DT
+    u = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 900.0, -cap, cap)
+    v = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 900.0, -cap, cap)
+    uv = jnp.stack([u, v])
+    flat = _advect_flat(uv, u, v, DT, 1.2, "field", d, 0, h, 0, w, 0)
+    tiled = _tiled(uv, u, v, DT, 1.2, "field", d, plan=(256, 128, 2, 32, 2))
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(flat), atol=1e-4)
+
+
+def test_tiled_clamps_horizontal_taps_at_d(rng):
+    """Beyond-d horizontal displacement clamps on the tiled path (the
+    documented contract; flat keeps x exact).  Compare against the ref op
+    applied to a clamped backtrace: cells with |vx|*dt > d must STILL get
+    finite, in-range dye (no garbage from halo-block junk)."""
+    h, w, d = 64, 512, 15
+    u = jnp.full((h, w), 40.0 / DT, jnp.float32)  # 40-cell x displacement
+    v = jnp.zeros((h, w), jnp.float32)
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    got = np.asarray(_tiled(dye, u, v, DT, 1.2, "dye", d,
+                            plan=(128, 128, 4, 32, 3)))
+    assert np.isfinite(got).all()
+    assert (got >= 0).all() and (got <= 1.0 + 1e-6).all()
+    # the clamped tap is d cells left of each cell (direction preserved)
+    decay = 1.0 / (1.0 + 1.2 * DT)
+    src = np.asarray(dye)[:, :, : w - d]
+    expect = np.fmin(1.0, np.power(src, 1.005) * decay)
+    np.testing.assert_allclose(got[:, :, d:], expect, atol=2e-4)
+
+
+def test_tile_plan_geometry_rules():
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    # healthy flat geometries stay flat (exact-x)
+    assert ap._tile_plan(256, 256, 3, 15) is None
+    assert ap._tile_plan(960, 640, 3, 15) is None
+    # wide grids and the d=31 dye fallback tile
+    plan = ap._tile_plan(8192, 8192, 3, 15)
+    assert plan is not None
+    wt, wd, t_cnt, r, cb = plan
+    assert wt * t_cnt == 8192 and wd >= 15 and wd % 128 == 0
+    assert cb == 3  # tiles restore full-channel programs
+    assert ap.uses_column_tiling(2048, 2048, 3, 31)
+    assert not ap.uses_column_tiling(2048, 2048, 3, 15)
+
+
+def test_tiled_full_dispatch_equivalence(rng):
+    """advect() dispatching through a real plan (wide grid) matches ref for
+    bounded flow; modest h keeps interpret-mode runtime sane."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    h, w, d = 16, 4096, 15
+    plan = ap._tile_plan(h, w, 3, d)
+    if plan is None:
+        pytest.skip("geometry does not tile here")
+    cap = (d - 0.1) / DT
+    u = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 400.0, -cap, cap)
+    v = jnp.clip(jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+                 * 400.0, -cap, cap)
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = ap.advect_dye(dye, u, v, DT, 1.2, d=d)
+    # vs ref: f32 accumulation-order noise scales with |v| (same bound as
+    # the flat-kernel tests); vs flat: the tiled reassembly is bit-identical
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-3)
+    # vs flat: same taps, same weights — only per-tile window extents can
+    # reorder the accumulation (1-ulp differences)
+    flat = ap._advect_flat(dye, u, v, DT, 1.2, "dye", d, 0, h, 0, w, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(flat), atol=2e-6)

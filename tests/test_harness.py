@@ -591,3 +591,59 @@ def test_cli_mesh_matches_single_device(tmp_path, mesh, capsys):
         for k in ("u", "v", "dye", "pressure"):
             np.testing.assert_allclose(b[k], a[k], atol=5e-5, rtol=1e-4,
                                        err_msg=k)
+
+
+def test_cli_preset_quality(capsys):
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "4", "--backend", "ref",
+               "--preset", "quality", "--impulse", "center"])
+    assert rc == 0
+
+
+def test_cli_preset_quality_flag_overrides(capsys):
+    """Explicit flags must override the preset (documented contract)."""
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "2", "--backend", "ref",
+               "--preset", "quality", "--pressure-solver", "jacobi",
+               "--impulse", "none"])
+    assert rc == 0
+
+
+def test_cli_mg_flag_notes(capsys):
+    from cudafluidsimulation_tpu.cli import main
+
+    main(["--grid", "64", "--steps", "1", "--backend", "ref",
+          "--mg-cycles", "3", "--impulse", "none"])
+    out = capsys.readouterr().out
+    assert "note: --mg-cycles is ignored" in out
+
+    main(["--grid", "64", "--steps", "1", "--backend", "ref",
+          "--pressure-solver", "multigrid", "--mg-cycles", "3",
+          "--mg-tol", "0.05", "--impulse", "none"])
+    out = capsys.readouterr().out
+    assert "note: --mg-cycles is ignored when --mg-tol" in out
+
+
+def test_cli_clamp_warning_printed(capsys):
+    """A driven run whose realized |v|*dt exceeds max_displacement on a
+    clamping path (pallas backend) must print the advection-clamp warning
+    (VERDICT r2 #6: clamping was silent)."""
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "12", "--backend", "pallas",
+               "--max-displacement", "1", "--impulse", "center"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "advection clamp" in out and "max_displacement=1" in out
+
+
+def test_cli_no_clamp_warning_on_exact_path(capsys):
+    """backend=ref single-chip is exact — no warning regardless of speed."""
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "12", "--backend", "ref",
+               "--max-displacement", "1", "--impulse", "center"])
+    assert rc == 0
+    assert "advection clamp" not in capsys.readouterr().out

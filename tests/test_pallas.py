@@ -206,3 +206,93 @@ def test_diffuse_multi_splat_matches_ref(rng, iters):
                                             iters, amps, last, 400.0,
                                             block_rows=64, burst=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+# -- column-tiled Jacobi bursts (wide-grid geometry rescue) ------------------
+
+
+def test_pressure_burst_tiled_bit_exact(rng):
+    """A tiled pressure burst must be BIT-identical to the flat burst: same
+    sweeps, same clamped stencil, tile-seam corruption confined to the
+    discarded wd halo and physical x edges supplied by the sweep-invariant
+    mirror columns."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    h, w, k, hd = 64, 512, 8, 8
+    div = jnp.asarray(rng.standard_normal((1, h, w)).astype(np.float32))
+    p0 = jnp.asarray(rng.standard_normal((1, h, w)).astype(np.float32))
+    # flat burst via the plain kernel path
+    flat = jp.pressure_solve(div[0], k, block_rows=32, burst=k, init=p0[0])
+    tiled = jp._pressure_burst_tiled(p0, div, k, hd, h, w,
+                                     plan=(128, 128, 4, 32))
+    np.testing.assert_array_equal(np.asarray(tiled[0]), np.asarray(flat))
+
+
+def test_diffuse_burst_tiled_bit_exact(rng):
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    h, w, k, hd = 64, 512, 8, 8
+    f = jnp.asarray(rng.standard_normal((5, h, w)).astype(np.float32))
+    alpha = jnp.full((5, 1), 0.8 * 0.8 * 60.0, jnp.float32)
+    amp = jnp.zeros((5, 1), jnp.float32)
+    sp = jnp.ones((3, 1), jnp.float32)
+    flat = jp.diffuse_multi(f, 1 / 60, [0.8] * 5, k, block_rows=32, burst=k)
+    tiled = jp._diffuse_burst_tiled(f, alpha, amp, sp, k, hd,
+                                    plan=(128, 128, 4, 32), splat=False)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(flat))
+
+
+def test_diffuse_burst_tiled_splat_tail(rng):
+    """The tiled splat tail must use GLOBAL coords (strip row + tile col),
+    matching the flat fused splat bit-for-bit."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    h, w, k, hd = 64, 512, 4, 8
+    f = jnp.asarray(rng.standard_normal((5, h, w)).astype(np.float32))
+    amps = jnp.asarray([1.0, 2.0, 0.5, 0.3, 0.7], jnp.float32)
+    last = jnp.asarray([300.0, 40.0], jnp.float32)
+    flat = jp.diffuse_multi_splat(f, 1 / 60, [0.8] * 5, k, amps, last, 400.0,
+                                  block_rows=32, burst=k)
+    alpha = jnp.full((5, 1), 0.8 * 0.8 * 60.0, jnp.float32)
+    sp = jnp.stack([last[0], last[1], jnp.float32(400.0)]).reshape(3, 1)
+    tiled = jp._diffuse_burst_tiled(f, alpha, amps.reshape(5, 1), sp, k, hd,
+                                    plan=(128, 128, 4, 32), splat=True)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(flat),
+                               atol=1e-6)
+
+
+def test_col_plan_rules():
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    # narrow grids never tile
+    assert jp._col_plan(2048, 2048, 8, 256) is None
+    # 8192-wide grids tile with full-width coverage and lane-aligned halos
+    plan = jp._col_plan(8192, 8192, 8, 256)
+    assert plan is not None
+    wt, wd, t_cnt, r = plan
+    assert wt * t_cnt == 8192 and wd == 128 and wt % wd == 0
+    # the tiled strips must beat the flat r=32 geometry
+    assert r > 32
+
+
+def test_pressure_solve_wide_grid_uses_tiling(rng):
+    """End-to-end pressure_solve on a wide (min-width) tiled geometry still
+    matches the ref solver exactly."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 512, 8192
+    assert jp._col_plan(h, w, 8, 256) is not None, \
+        "fixture must exercise the tiled path"
+    div = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    got = jp.pressure_solve(div, 8, block_rows=256, burst=8)
+    exp = ref.pressure_solve(div, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
