@@ -67,6 +67,15 @@ def overrides(config: FluidConfig) -> dict:
                 return u2, v2, p
 
             out["pressure_project"] = _pp
+    if jacobi_pallas.vorticity_supported(config.ny, config.nx):
+        out["vorticity_confinement_gpu"] = functools.partial(
+            jacobi_pallas.vorticity_confinement, variant="gpu",
+            block_rows=config.block_rows,
+        )
+        out["vorticity_confinement_cpu"] = functools.partial(
+            jacobi_pallas.vorticity_confinement, variant="cpu",
+            block_rows=config.block_rows,
+        )
     d = config.max_displacement
     # gate each op on ITS channel footprint: geometries where only the
     # 3-channel dye advection overflows VMEM still get the 2-channel

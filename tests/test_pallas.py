@@ -296,3 +296,51 @@ def test_pressure_solve_wide_grid_uses_tiling(rng):
     got = jp.pressure_solve(div, 8, block_rows=256, burst=8)
     exp = ref.pressure_solve(div, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["gpu", "cpu"])
+def test_vorticity_kernel_matches_ref(rng, variant):
+    """Fused curl+confinement vs the jnp composition, including the clamp
+    ghosts at all four physical edges and strip seams."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 64, 128
+    assert jp.vorticity_supported(h, w)
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    fn = (ref.vorticity_confinement_gpu if variant == "gpu"
+          else ref.vorticity_confinement_cpu)
+    eu, ev = fn(u, v, 1 / 60, 30.0)
+    gu, gv = jp.vorticity_confinement(u, v, 1 / 60, 30.0, variant=variant)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=2e-5)
+
+
+def test_vorticity_kernel_multi_strip_seams(rng):
+    """Taller grid -> several strips; seam rows must use true neighbor curl
+    (halo blocks), not ghosts."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 512, 128
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    eu, ev = ref.vorticity_confinement_gpu(u, v, 1 / 60, 30.0)
+    gu, gv = jp.vorticity_confinement(u, v, 1 / 60, 30.0, variant="gpu",
+                                      block_rows=64)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=2e-5)
+
+
+def test_vorticity_supported_gate():
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    assert jp.vorticity_supported(2048, 2048)
+    assert jp.vorticity_supported(8192, 8192)
+    assert not jp.vorticity_supported(540, 960)  # padded odd grid -> jnp op
+    assert not jp.vorticity_supported(64, 64)  # w < 128
