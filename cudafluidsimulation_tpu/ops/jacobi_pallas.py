@@ -588,6 +588,19 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
     h, w = u.shape
     if iters == 0:
         return u, v, jnp.zeros_like(u)
+
+    # Wide grids: run EVERY burst through the column-tiled solver and pay
+    # two cheap single-pass kernels for div/project instead of fusing them
+    # into flat end bursts (whose r=16 strips cost ~3x halo compute at
+    # w=8192 — measured net win, BASELINE.md r3 table).
+    if (divergence_supported(h, w)
+            and _col_plan(h, w, _halo_depth(min(burst, iters)),
+                          block_rows) is not None):
+        d = divergence(u, v, half, block_rows=block_rows)
+        p = pressure_solve(d, iters, block_rows=block_rows, burst=burst)
+        u2, v2 = project(u, v, p, block_rows=block_rows)
+        return u2, v2, p
+
     u3, v3 = u[None], v[None]
 
     ks = []
@@ -772,6 +785,104 @@ def vorticity_confinement(u: jnp.ndarray, v: jnp.ndarray, dt, vorticity,
         out_specs=[out, out],
         interpret=_interpret(),
     )(sc, u3, u3, u3, v3, v3, v3)
+    return u2[0], v2[0]
+
+
+# ---------------------------------------------------------------------------
+# Single-pass stencil kernels: divergence and projection.  Same pattern as
+# the vorticity kernel (strip + 1-valid-halo-row, replicate-fill clamp
+# ghosts, exact geometries only).  They serve two masters: the multigrid
+# pressure path (which composes divergence -> V-cycles -> project) and the
+# wide-grid Jacobi path, where running ALL bursts through the tiled solver
+# plus these two cheap passes beats the flat r=16 fused end bursts.
+# ---------------------------------------------------------------------------
+
+
+def _divergence_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi, out,
+                       *, hd, n_strips, r, half):
+    i = pl.program_id(1)
+    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
+    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
+    ue = _replicate_fill(ue, i, n_strips, hd)
+    ve = _replicate_fill(ve, i, n_strips, hd)
+    ul, ur, _, _ = _clamped_neighbors(ue)
+    vb = jnp.concatenate([ve[:1], ve[:-1]], axis=0)
+    vt = jnp.concatenate([ve[1:], ve[-1:]], axis=0)
+    de = (ur - ul) + (vt - vb)
+    core = de[hd : hd + r, :]
+    out[0] = core * 0.5 if half else core
+
+
+def _project_kernel(p_mid, p_lo, p_hi, u_mid, v_mid, u_out, v_out,
+                    *, hd, n_strips, r):
+    i = pl.program_id(1)
+    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+    pe = _replicate_fill(pe, i, n_strips, hd)
+    ps = pe[hd : hd + r, :]
+    pl_, pr_, _, _ = _clamped_neighbors(ps)
+    u_out[0] = u_mid[0] - 0.5 * (pr_ - pl_)
+    v_out[0] = v_mid[0] - 0.5 * (pe[hd + 1 : hd + 1 + r, :]
+                                 - pe[hd - 1 : hd - 1 + r, :])
+
+
+def _stencil_supported(h: int, w: int, planes: int) -> bool:
+    if h < 2 * _SUBLANE or w < 128 or w % 128 != 0:
+        return False
+    r = _pick_block_rows(h, _SUBLANE, w, 256, planes=planes)
+    return r >= _SUBLANE and h % r == 0
+
+
+def divergence_supported(h: int, w: int) -> bool:
+    return _stencil_supported(h, w, planes=5)
+
+
+@functools.partial(jax.jit, static_argnames=("half", "block_rows"))
+def divergence(u: jnp.ndarray, v: jnp.ndarray, half: bool, *,
+               block_rows: int = 256):
+    """Central-difference divergence (ref.divergence semantics, clamped
+    edges; GPUFluidSim.cu:297-310).  Caller checks divergence_supported."""
+    h, w = u.shape
+    hd = _SUBLANE
+    r = _pick_block_rows(h, hd, w, block_rows, planes=5)
+    mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_divergence_kernel, hd=hd, n_strips=n_strips,
+                             r=r, half=half)
+    u3, v3 = u[None], v[None]
+    d = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi],
+        out_specs=out,
+        interpret=_interpret(),
+    )(u3, u3, u3, v3, v3, v3)
+    return d[0]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def project(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray, *,
+            block_rows: int = 256):
+    """Pressure-gradient subtraction (ref.project semantics, clamped edges;
+    GPUFluidSim.cu:498-516).  Caller checks divergence_supported (same
+    geometry gate)."""
+    h, w = u.shape
+    hd = _SUBLANE
+    r = _pick_block_rows(h, hd, w, block_rows, planes=5)
+    mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_project_kernel, hd=hd, n_strips=n_strips, r=r)
+    u3, v3, p3 = u[None], v[None], p[None]
+    u2, v2 = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, mid],
+        out_specs=[out, out],
+        interpret=_interpret(),
+    )(p3, p3, p3, u3, v3)
     return u2[0], v2[0]
 
 

@@ -67,6 +67,12 @@ def overrides(config: FluidConfig) -> dict:
                 return u2, v2, p
 
             out["pressure_project"] = _pp
+    if jacobi_pallas.divergence_supported(config.ny, config.nx):
+        # single-pass stencil kernels (also the multigrid path's div/project)
+        out["divergence"] = functools.partial(
+            jacobi_pallas.divergence, block_rows=config.block_rows)
+        out["project"] = functools.partial(
+            jacobi_pallas.project, block_rows=config.block_rows)
     if jacobi_pallas.vorticity_supported(config.ny, config.nx):
         out["vorticity_confinement_gpu"] = functools.partial(
             jacobi_pallas.vorticity_confinement, variant="gpu",

@@ -141,6 +141,29 @@ for case in cases:
                     probe(f"8192 {mode} d={d} tile{var}", f, up, vp, mode, d,
                           var)
         continue
+    elif case == "rollshare":
+        # Upper bound for bf16-packed dye rolls (ROADMAP gap #3): re-time
+        # the dye kernel with every pltpu.roll stubbed to identity (WRONG
+        # numerics, identical loop/mask/FMA structure).  1 - t_noroll/t_base
+        # is the roll share; bf16 packing could at best halve the rolls for
+        # 2 of 3 dye channels, i.e. save ~share/3 of the dye kernel.
+        import types
+
+        f, uu, vv, mode, d = dye2k, u2k, v2k, "dye", 31
+        c, h, w = f.shape
+        base = probe("2048 dye31 flat  (rolls on)", f, uu, vv, mode, d, "flat")
+        real = ap.pltpu
+        ap.pltpu = types.SimpleNamespace(
+            roll=lambda x, shift, axis: x, **{
+                k: getattr(real, k) for k in ("VMEM", "SMEM")})
+        try:
+            noroll = probe("2048 dye31 flat  (rolls stubbed)", f, uu, vv,
+                           mode, d, "flat")
+        finally:
+            ap.pltpu = real
+        if base and noroll:
+            print(f"roll share of dye kernel: {1 - noroll / base:.1%}")
+        continue
     else:
         print(f"unknown case {case}")
         continue

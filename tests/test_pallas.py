@@ -344,3 +344,77 @@ def test_vorticity_supported_gate():
     assert jp.vorticity_supported(8192, 8192)
     assert not jp.vorticity_supported(540, 960)  # padded odd grid -> jnp op
     assert not jp.vorticity_supported(64, 64)  # w < 128
+
+
+def test_divergence_project_kernels_match_ref(rng):
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 64, 128
+    assert jp.divergence_supported(h, w)
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    for half in (True, False):
+        np.testing.assert_allclose(
+            np.asarray(jp.divergence(u, v, half)),
+            np.asarray(ref.divergence(u, v, half)), atol=1e-5)
+    eu, ev = ref.project(u, v, p)
+    gu, gv = jp.project(u, v, p)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=1e-5)
+
+
+def test_divergence_project_multi_strip(rng):
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 512, 128
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 50
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jp.divergence(u, v, True, block_rows=64)),
+        np.asarray(ref.divergence(u, v, True)), atol=1e-5)
+    eu, ev = ref.project(u, v, p)
+    gu, gv = jp.project(u, v, p, block_rows=64)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=1e-5)
+
+
+def test_pressure_project_wide_grid_composed_path(rng):
+    """On tiled-geometry grids pressure_project routes through the
+    div-kernel + all-tiled solver + project-kernel composition; result must
+    still match ref exactly."""
+    import jax.numpy as jnp
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import ref
+
+    h, w = 512, 8192
+    assert jp._col_plan(h, w, 8, 256) is not None
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 10
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 10
+    eu, ev, ep = ref.pressure_project(u, v, 8, True)
+    gu, gv, gp = jp.pressure_project(u, v, 8, True, block_rows=256, burst=8)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=1e-5)
+
+
+def test_divergence_project_override_wiring_mg():
+    """The multigrid pipeline's div/project are the pallas kernels on
+    supported geometries."""
+    from cudafluidsimulation_tpu.ops import ref
+
+    cfg = FluidConfig.gpu_reference(nx=128, ny=64, backend="pallas",
+                                    pressure_solver="multigrid")
+    ops = get_ops(cfg)
+    assert ops.divergence is not ref.divergence
+    assert ops.project is not ref.project
+    cfg2 = FluidConfig.gpu_reference(nx=960, ny=540, backend="pallas")
+    assert get_ops(cfg2).divergence is ref.divergence
