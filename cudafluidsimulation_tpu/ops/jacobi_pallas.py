@@ -616,6 +616,12 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
         out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0), memory_space=vm)
         return mid, lo, hi, out, n_strips
 
+    for k in {ks[0], ks[-1]}:
+        if _fused_geometry(h, w, k, block_rows)[0] == 0:
+            raise ValueError(
+                f"pressure_project: no viable fused geometry for "
+                f"{h}x{w} burst k={k} (check fusable() first)")
+
     if len(ks) == 1:
         k = ks[0]
         r, hd = _fused_geometry(h, w, k, block_rows)

@@ -115,19 +115,27 @@ def tile_variants(h, w, c, d, wds=(128,)):
 
 cases = sys.argv[1:] or ["v31", "d31"]
 
+# "q" prefix on any case probes the QUIET regime (velocities x0.01): the
+# dynamic windows collapse, leaving the kernel's fixed per-cell cost
+# (positions/weights, ext assembly, IO) — the ROADMAP #2 diagnosis target.
 for case in cases:
+    if case.startswith("q"):
+        case = case[1:]
+        u2k_c, v2k_c = u2k * 0.01, v2k * 0.01
+    else:
+        u2k_c, v2k_c = u2k, v2k
     if case == "v15":
-        f, uu, vv, mode, d = jnp.stack([u2k, v2k]), u2k, v2k, "field", 15
+        f, uu, vv, mode, d = jnp.stack([u2k_c, v2k_c]), u2k_c, v2k_c, "field", 15
     elif case == "v31":
-        f, uu, vv, mode, d = jnp.stack([u2k, v2k]), u2k, v2k, "field", 31
+        f, uu, vv, mode, d = jnp.stack([u2k_c, v2k_c]), u2k_c, v2k_c, "field", 31
     elif case == "d15":
-        f, uu, vv, mode, d = dye2k, u2k, v2k, "dye", 15
+        f, uu, vv, mode, d = dye2k, u2k_c, v2k_c, "dye", 15
     elif case == "d31":
-        f, uu, vv, mode, d = dye2k, u2k, v2k, "dye", 31
+        f, uu, vv, mode, d = dye2k, u2k_c, v2k_c, "dye", 31
     elif case == "w8192":
         # upsample the driven field 4x (same |v| -> same cell displacement)
-        up = jnp.repeat(jnp.repeat(u2k, 4, 0), 4, 1)
-        vp = jnp.repeat(jnp.repeat(v2k, 4, 0), 4, 1)
+        up = jnp.repeat(jnp.repeat(u2k_c, 4, 0), 4, 1)
+        vp = jnp.repeat(jnp.repeat(v2k_c, 4, 0), 4, 1)
         for mode, d, f in (("field", 15, jnp.stack([up, vp])),
                            ("dye", 15, jnp.repeat(jnp.repeat(dye2k, 4, 1), 4, 2))):
             c, h, w = f.shape
@@ -149,7 +157,7 @@ for case in cases:
         # 2 of 3 dye channels, i.e. save ~share/3 of the dye kernel.
         import types
 
-        f, uu, vv, mode, d = dye2k, u2k, v2k, "dye", 31
+        f, uu, vv, mode, d = dye2k, u2k_c, v2k_c, "dye", 31
         c, h, w = f.shape
         base = probe("2048 dye31 flat  (rolls on)", f, uu, vv, mode, d, "flat")
         real = ap.pltpu
