@@ -54,12 +54,21 @@ def main():
     for attempt in range(3):
         try:
             state = sim.init()
-            run = sim._jit_run
-            jax.block_until_ready(run(state, imp))  # compile
+
+            # sync via a SCALAR computed inside the program and fetched to
+            # the host: block_until_ready through the relay intermittently
+            # returns early (round 3 caught an 8192² step reading 122 ms by
+            # block_until_ready vs 149 ms by host transfer + stage sum)
+            @jax.jit
+            def run(st, im):
+                out = sim._jit_run(st, im)
+                return out.u[0, 0]
+
+            float(run(state, imp))  # compile
             times = []
             for _ in range(timing_iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(state, imp))
+                float(run(state, imp))
                 times.append(time.perf_counter() - t0)
             # best-of, not median: the tunnel intermittently stalls whole
             # multi-second windows, and best-of resists that
@@ -72,7 +81,7 @@ def main():
             qt = []
             for _ in range(timing_iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(state, quiet))
+                float(run(state, quiet))
                 qt.append(time.perf_counter() - t0)
             quiet_sec = min(qt)
             # realized backtrace displacement over the whole driven rollout

@@ -172,13 +172,15 @@ def make_render(config: FluidConfig, ops=None) -> Callable[[FluidState], jnp.nda
         ops = get_ops(config)
 
     def render(state: FluidState) -> jnp.ndarray:
-        rgba = ops.pack_rgba(state.dye)
         if config.bloom_enabled:
-            bloomed = ops.apply_bloom(
-                rgba, state.mouse, config.bloom_intense, config.splat_radius
-            )
+            # one fused pass (pack + gated bloom); bit-exact to
+            # where(active, apply_bloom(pack_rgba(dye)), pack_rgba(dye)) but
+            # without the two extra RGBA round trips (ops.ref.render_frame)
             active = state.time_since_press < config.bloom_duration
-            rgba = jnp.where(active, bloomed, rgba)
-        return rgba
+            return ops.render_frame(
+                state.dye, state.mouse, config.bloom_intense,
+                config.splat_radius, active
+            )
+        return ops.pack_rgba(state.dye)
 
     return render

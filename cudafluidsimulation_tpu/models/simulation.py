@@ -286,13 +286,22 @@ class Simulation:
             stages["Project"] = (project_body, (u, v, p))
         else:
             stages["Pressure+Project"] = (pressure_project_body, (u, v, p))
-        stages["Paint"] = (paint_body, (dye, jnp.zeros((1, 1), jnp.float32)))
         if cfg.bloom_enabled:
-            def bloom_body(rgba, eps):
-                return ops.apply_bloom(rgba, pos, cfg.bloom_intense,
-                                       cfg.splat_radius)
+            # the pipeline's actual render op: pack + gated bloom in one
+            # fused pass (ops.render_frame); timed with the bloom ACTIVE —
+            # the driven/interactive worst case
+            def render_body(c, eps):
+                dye, s = c
+                rgba = ops.render_frame(dye + eps * s, pos,
+                                        cfg.bloom_intense, cfg.splat_radius,
+                                        jnp.float32(1.0))
+                return dye, rgba[0, :1, :1].astype(jnp.float32)
 
-            stages["Bloom"] = (bloom_body, ops.pack_rgba(dye))
+            stages["Paint+Bloom"] = (render_body,
+                                     (dye, jnp.zeros((1, 1), jnp.float32)))
+        else:
+            stages["Paint"] = (paint_body,
+                               (dye, jnp.zeros((1, 1), jnp.float32)))
 
         report = StageReport(grid=f"{cfg.nx}x{cfg.ny}", steps=iters, total_s=0.0)
         for name, (body, carry) in stages.items():

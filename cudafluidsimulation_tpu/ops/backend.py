@@ -35,6 +35,7 @@ _OP_NAMES = [
     "boundary_strip",
     "pack_rgba",
     "apply_bloom",
+    "render_frame",
 ]
 
 

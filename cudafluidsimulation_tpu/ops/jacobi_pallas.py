@@ -97,33 +97,20 @@ def _pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, out, *, k, hd, n_stri
 # Column tiling (wide grids).  At w=8192 the flat strip geometry falls to
 # r=32 rows (he=48 -> 1.5x compute overhead vs the 2048² strips' 1.125x).
 # Splitting the width into tiles restores tall strips; each program sees its
-# tile through a 3x3 halo-block assembly.  Physical x edges are handled by
-# mirror-padding wd columns OUTSIDE the kernel (the even reflection is
-# invariant under the clamped sweep — same argument as _edge_fill — so the
-# padding needs no re-fill within a burst), which keeps every halo block a
-# plain BlockSpec read: core/top/bottom blocks come from the unpadded array
-# (tile offsets are wt-multiples there), left/right/corner blocks from the
-# padded array (offsets are wd-multiples there).  Corruption from a tile's
-# clamped ext edge travels 1 col/sweep and dies in the discarded wd >= k
-# halo, so the emitted core stays bit-exact global Jacobi.
+# tile through a 3x3 halo-block assembly read from the ONE unpadded array:
+# interior tile halos are plain field columns (wd-col BlockSpecs with
+# clamped indices), and the physical x edges get their Neumann ghosts
+# synthesized IN-KERNEL on the small halo blocks (_col_edge_fill — the even
+# reflection of the core's edge columns, the same sweep-invariant ghost
+# _edge_fill builds for rows).  Earlier rounds materialized the ghosts
+# outside the kernel (a full mirror-padded twin, then a compact halo-col
+# array); the compact build still measured 6.2 ms/burst at 8192² — the
+# XLA flip/concat passes over 5 channels dominated the whole burst's fixed
+# cost — so round 3 moved the ghosts into the kernel, where they touch only
+# (r, hd)-sized slices of already-resident blocks.
 # ---------------------------------------------------------------------------
 
 _COL_TILE_MIN_W = 4096
-
-
-def _halo_cols(x: jnp.ndarray, wd: int, wt: int, t_cnt: int) -> jnp.ndarray:
-    """Compact column-halo array: the 2*wd columns around each tile
-    boundary of the VIRTUALLY mirror-padded field, laid out as T+1
-    contiguous chunks (chunk k = virtual cols [k*wt - wd, k*wt + wd)).
-    Left halo of tile t = wd-block 2t, right halo = wd-block 2t+3.
-    Materializing only these (~2wd(T+1)/w of the field) instead of a full
-    mirror-padded twin cut the per-burst pad traffic ~3.5x at 8192²."""
-    chunks = [jnp.flip(x[..., :wd], -1), x[..., :wd]]
-    for k in range(1, t_cnt):
-        chunks.append(x[..., k * wt - wd : k * wt + wd])
-    chunks.append(x[..., -wd:])
-    chunks.append(jnp.flip(x[..., -wd:], -1))
-    return jnp.concatenate(chunks, axis=-1)
 
 
 def _col_plan(h_pad: int, w_pad: int, hd: int, requested: int,
@@ -156,11 +143,13 @@ def _col_plan(h_pad: int, w_pad: int, hd: int, requested: int,
 
 
 def _tiled_specs(h: int, w: int, r: int, hd: int, wt: int, wd: int):
-    """Block specs for the 3x3 assembly of one (C, H, W) field: mid/top/
-    bottom from the unpadded array, left/right/corners from its
-    _mirror_cols-padded twin.  Grid is (c, strips, tiles)."""
+    """Block specs for the 3x3 assembly of one (C, H, W) field, ALL read
+    from the one unpadded array (halo blocks in wd-col units with clamped
+    indices; clamped reads at physical edges are junk whose inner hd cols
+    _col_edge_fill replaces in-kernel).  Grid is (c, strips, tiles)."""
     hblk = h // hd
     tw = wt // wd
+    wblk = w // wd
 
     def rlo(i):
         return jnp.maximum(i * (r // hd) - 1, 0)
@@ -168,43 +157,82 @@ def _tiled_specs(h: int, w: int, r: int, hd: int, wt: int, wd: int):
     def rhi(i):
         return jnp.minimum((i + 1) * (r // hd), hblk - 1)
 
+    def clo(t):
+        return jnp.maximum(t * tw - 1, 0)
+
+    def chi(t):
+        return jnp.minimum((t + 1) * tw, wblk - 1)
+
     vm = pltpu.VMEM
 
     def bs(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=vm)
 
-    del tw  # halo blocks index the COMPACT _halo_cols array, in wd units
     unpadded = dict(
         mm=bs((1, r, wt), lambda c, i, t: (c, i, t)),
         tm=bs((1, hd, wt), lambda c, i, t: (c, rlo(i), t)),
         bm=bs((1, hd, wt), lambda c, i, t: (c, rhi(i), t)),
     )
-    padded = dict(
-        ml=bs((1, r, wd), lambda c, i, t: (c, i, 2 * t)),
-        mr=bs((1, r, wd), lambda c, i, t: (c, i, 2 * t + 3)),
-        tl=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), 2 * t)),
-        tr=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), 2 * t + 3)),
-        bl=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), 2 * t)),
-        br=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), 2 * t + 3)),
+    halo = dict(
+        ml=bs((1, r, wd), lambda c, i, t: (c, i, clo(t))),
+        mr=bs((1, r, wd), lambda c, i, t: (c, i, chi(t))),
+        tl=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), clo(t))),
+        tr=bs((1, hd, wd), lambda c, i, t: (c, rlo(i), chi(t))),
+        bl=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), clo(t))),
+        br=bs((1, hd, wd), lambda c, i, t: (c, rhi(i), chi(t))),
     )
     out = bs((1, r, wt), lambda c, i, t: (c, i, t))
-    return unpadded, padded, out
+    return unpadded, halo, out
 
 
-def _assemble_ext(mm, ml, mr, tm, tl, tr, bm, bl, br):
-    """(he, wext) ext from the 9 blocks of one channel."""
-    top = jnp.concatenate([tl[0], tm[0], tr[0]], axis=1)
-    mid = jnp.concatenate([ml[0], mm[0], mr[0]], axis=1)
-    bot = jnp.concatenate([bl[0], bm[0], br[0]], axis=1)
+def _flip_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """Column reversal via static slices (no Mosaic `rev`); used only on
+    hd-wide slices, so it is a handful of single-lane copies."""
+    n = x.shape[-1]
+    return jnp.concatenate([x[..., j : j + 1] for j in reversed(range(n))],
+                           axis=-1)
+
+
+def _col_edge_fill(left, right, mid, t, t_cnt: int, hd: int):
+    """Physical-x-edge ghosts for one row band of the 3x3 assembly: on the
+    first/last tile, overwrite the halo block's inner ``hd`` columns with
+    the even reflection of the core's first/last ``hd`` columns — the exact
+    Neumann ghost for the clamped stencil (see module docstring).  The halo
+    block's remaining wd-hd columns keep their clamped-read junk, whose
+    influence travels 1 col/sweep and cannot reach the emitted core within
+    k <= hd sweeps."""
+    wd = left.shape[-1]
+    lg = jnp.concatenate([left[:, : wd - hd], _flip_cols(mid[:, :hd])],
+                         axis=1)
+    left = jnp.where(t == 0, lg, left)
+    rg = jnp.concatenate([_flip_cols(mid[:, -hd:]), right[:, hd:]], axis=1)
+    right = jnp.where(t == t_cnt - 1, rg, right)
+    return left, right
+
+
+def _assemble_ext(mm, ml, mr, tm, tl, tr, bm, bl, br, t, t_cnt: int,
+                  hd: int):
+    """(he, wext) ext from the 9 blocks of one channel, with in-kernel
+    physical-x-edge ghost fill (cols first, so the caller's row _edge_fill
+    mirrors already-ghosted columns and the corners come out exact)."""
+    ml, mr = _col_edge_fill(ml[0], mr[0], mm[0], t, t_cnt, hd)
+    tl, tr = _col_edge_fill(tl[0], tr[0], tm[0], t, t_cnt, hd)
+    bl, br = _col_edge_fill(bl[0], br[0], bm[0], t, t_cnt, hd)
+    top = jnp.concatenate([tl, tm[0], tr], axis=1)
+    mid = jnp.concatenate([ml, mm[0], mr], axis=1)
+    bot = jnp.concatenate([bl, bm[0], br], axis=1)
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
 def _pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
                            p_br, d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm,
-                           d_bl, d_br, out, *, k, hd, n_strips, wd):
+                           d_bl, d_br, out, *, k, hd, n_strips, t_cnt, wd):
     i = pl.program_id(1)
-    pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl, p_br)
-    de = _assemble_ext(d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm, d_bl, d_br)
+    ti = pl.program_id(2)
+    pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl, p_br,
+                       ti, t_cnt, hd)
+    de = _assemble_ext(d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm, d_bl, d_br,
+                       ti, t_cnt, hd)
     pe = _edge_fill(pe, i, n_strips, hd)
     de = _edge_fill(de, i, n_strips, hd)
     for _ in range(k):
@@ -215,11 +243,12 @@ def _pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
 
 def _diffuse_kernel_tiled(alpha_ref, amp_ref, sp_ref, f_mm, f_ml, f_mr,
                           f_tm, f_tl, f_tr, f_bm, f_bl, f_br, out,
-                          *, k, hd, n_strips, wd, wt, splat):
+                          *, k, hd, n_strips, t_cnt, wd, wt, splat):
     i = pl.program_id(1)
     alpha = alpha_ref[pl.program_id(0), 0]
     inv_beta = 1.0 / (4.0 + alpha)
-    fe = _assemble_ext(f_mm, f_ml, f_mr, f_tm, f_tl, f_tr, f_bm, f_bl, f_br)
+    fe = _assemble_ext(f_mm, f_ml, f_mr, f_tm, f_tl, f_tr, f_bm, f_bl, f_br,
+                       pl.program_id(2), t_cnt, hd)
     fe = _edge_fill(fe, i, n_strips, hd)
     for _ in range(k):
         l, r, b, t = _clamped_neighbors(fe)
@@ -245,14 +274,12 @@ def _diffuse_kernel_tiled(alpha_ref, amp_ref, sp_ref, f_mm, f_ml, f_mr,
 def _pressure_burst_tiled(p, d, k: int, hd: int, h: int, w: int, plan):
     """One tiled pressure burst: (1, h, w) p, d -> (1, h, w) p'."""
     wt, wd, t_cnt, r = plan
-    pp = _halo_cols(p, wd, wt, t_cnt)
-    dp = _halo_cols(d, wd, wt, t_cnt)
-    unpad, padded, out = _tiled_specs(h, w, r, hd, wt, wd)
+    unpad, halo, out = _tiled_specs(h, w, r, hd, wt, wd)
     kern = functools.partial(_pressure_kernel_tiled, k=k, hd=hd,
-                             n_strips=h // r, wd=wd)
-    specs = [unpad["mm"], padded["ml"], padded["mr"], unpad["tm"],
-             padded["tl"], padded["tr"], unpad["bm"], padded["bl"],
-             padded["br"]]
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd)
+    specs = [unpad["mm"], halo["ml"], halo["mr"], unpad["tm"],
+             halo["tl"], halo["tr"], unpad["bm"], halo["bl"],
+             halo["br"]]
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
@@ -260,8 +287,8 @@ def _pressure_burst_tiled(p, d, k: int, hd: int, h: int, w: int, plan):
         in_specs=specs + specs,
         out_specs=out,
         interpret=_interpret(),
-    )(p, pp, pp, p, pp, pp, p, pp, pp,
-      d, dp, dp, d, dp, dp, d, dp, dp)
+    )(p, p, p, p, p, p, p, p, p,
+      d, d, d, d, d, d, d, d, d)
 
 
 def _diffuse_burst_tiled(f, alpha, amp_arr, sp_arr, k: int, hd: int, plan,
@@ -270,10 +297,10 @@ def _diffuse_burst_tiled(f, alpha, amp_arr, sp_arr, k: int, hd: int, plan,
     fused gpu-variant splat tail — see _diffuse_kernel)."""
     c, h, w = f.shape
     wt, wd, t_cnt, r = plan
-    fp = _halo_cols(f, wd, wt, t_cnt)
-    unpad, padded, out = _tiled_specs(h, w, r, hd, wt, wd)
+    unpad, halo, out = _tiled_specs(h, w, r, hd, wt, wd)
     kern = functools.partial(_diffuse_kernel_tiled, k=k, hd=hd,
-                             n_strips=h // r, wd=wd, wt=wt, splat=splat)
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd, wt=wt,
+                             splat=splat)
     smem_c = pl.BlockSpec((c, 1), lambda ci, i, t: (0, 0),
                           memory_space=pltpu.SMEM)
     smem_3 = pl.BlockSpec((3, 1), lambda ci, i, t: (0, 0),
@@ -282,12 +309,12 @@ def _diffuse_burst_tiled(f, alpha, amp_arr, sp_arr, k: int, hd: int, plan,
         kern,
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         grid=(c, h // r, t_cnt),
-        in_specs=[smem_c, smem_c, smem_3, unpad["mm"], padded["ml"],
-                  padded["mr"], unpad["tm"], padded["tl"], padded["tr"],
-                  unpad["bm"], padded["bl"], padded["br"]],
+        in_specs=[smem_c, smem_c, smem_3, unpad["mm"], halo["ml"],
+                  halo["mr"], unpad["tm"], halo["tl"], halo["tr"],
+                  unpad["bm"], halo["bl"], halo["br"]],
         out_specs=out,
         interpret=_interpret(),
-    )(alpha, amp_arr, sp_arr, f, fp, fp, f, fp, fp, f, fp, fp)
+    )(alpha, amp_arr, sp_arr, f, f, f, f, f, f, f, f, f)
 
 
 def _diffuse_kernel(alpha_ref, amp_ref, sp_ref, f_mid, f_lo, f_hi, out,

@@ -394,3 +394,36 @@ def apply_bloom(rgba: Array, pos, intense, radius) -> Array:
     h, w = rgba.shape[-2], rgba.shape[-1]
     xs, ys = coord_grids(h, w)
     return bloom_core(rgba, pos, intense, radius, xs, ys)
+
+
+def render_frame_core(dye: Array, pos, intense, radius, active,
+                      xs, ys) -> Array:
+    """pack_rgba + conditional bloom in ONE fused elementwise pass, bit-exact
+    to ``where(active, apply_bloom(pack_rgba(dye), ...), pack_rgba(dye))``.
+
+    The composed form makes three HBM round trips over the RGBA frame (pack
+    write, bloom read+write, select read+read+write) — measured 11.4 ms at
+    8192² vs a ~1.5 ms read-dye/write-frame floor.  Here the uint8
+    quantization is emulated in f32 (``floor`` of the clipped value — the
+    uint8 cast truncates, and every value in [0, 255] is exact in f32), so
+    the bloom reads the same quantized values the reference's uchar4 kernel
+    reads (GPUFluidSim.cu:432-442, 576-591) while the whole render stays one
+    XLA fusion: read dye, write frame.  ``active`` (bool/0-1 scalar) gates
+    the bloom term multiplicatively: e == 0 reproduces pack_rgba exactly.
+    """
+    cq = jnp.floor(jnp.clip(255.0 * dye, 0.0, 255.0))  # u8 values, in f32
+    d2 = (xs - pos[0]) ** 2 + (ys - pos[1]) ** 2
+    act = jnp.asarray(active).astype(jnp.float32)
+    e = act * intense * jnp.exp(-(d2 + 1.0) / (radius * radius))
+    mx = jnp.max(cq, axis=0)
+    rgb = jnp.minimum(255.0, cq + mx[None] * e[None]).astype(jnp.uint8)
+    h, w = dye.shape[-2], dye.shape[-1]
+    alpha = jnp.full((1, h, w), 255, jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=0)
+
+
+def render_frame(dye: Array, pos, intense, radius, active) -> Array:
+    """Single-chip fused render (see render_frame_core)."""
+    h, w = dye.shape[-2], dye.shape[-1]
+    xs, ys = coord_grids(h, w)
+    return render_frame_core(dye, pos, intense, radius, active, xs, ys)

@@ -458,6 +458,12 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         ys_f, _, xs_f, _ = _global_grids(shape)
         return ref.bloom_core(rgba, pos, intense, radius, xs_f, ys_f)
 
+    def render_frame(dye, pos, intense, radius, active):
+        shape = (dye.shape[-2], dye.shape[-1])
+        ys_f, _, xs_f, _ = _global_grids(shape)
+        return ref.render_frame_core(dye, pos, intense, radius, active,
+                                     xs_f, ys_f)
+
     ns.bilerp = ref.bilerp
     ns.advect_velocity = advect_velocity
     ns.advect_dye = advect_dye
@@ -479,6 +485,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
     ns.boundary_strip = boundary_strip
     ns.pack_rgba = ref.pack_rgba
     ns.apply_bloom = apply_bloom
+    ns.render_frame = render_frame
     return ns
 
 

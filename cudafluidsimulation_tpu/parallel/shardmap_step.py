@@ -419,6 +419,13 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
         return ref.bloom_core(rgba, pos, intense, radius, xs_f, ys_f)
 
+    def render_frame(dye, pos, intense, radius, active):
+        hl, w = dye.shape[-2], dye.shape[-1]
+        ys_f, _ = _global_rows((hl, w), axis_name)
+        xs_f = jax.lax.broadcasted_iota(jnp.float32, (hl, w), 1)
+        return ref.render_frame_core(dye, pos, intense, radius, active,
+                                     xs_f, ys_f)
+
     ns.bilerp = ref.bilerp  # unused by the pipeline directly
     ns.advect_velocity = advect_velocity
     ns.advect_dye = advect_dye
@@ -522,6 +529,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     ns.boundary_strip = boundary_strip
     ns.pack_rgba = ref.pack_rgba
     ns.apply_bloom = apply_bloom
+    ns.render_frame = render_frame
     return ns
 
 

@@ -99,8 +99,16 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
         u2, v2 = ns.advect_velocity(u, v, dt, decay_rate)
         return u2, v2, ns.advect_dye(dye, u2, v2, dt, decay_rate)
 
+    def render_frame(dye, pos, intense, radius, active):
+        import jax.numpy as jnp
+
+        rgba = ns.pack_rgba(dye)  # bills Paint
+        bloomed = ns.apply_bloom(rgba, pos, intense, radius)  # bills Bloom
+        return jnp.where(jnp.asarray(active), bloomed, rgba)
+
     ns.pressure_project = pressure_project
     ns.diffuse_multi_splat = diffuse_multi_splat
+    ns.render_frame = render_frame
     if hasattr(base, "advect_both"):
         ns.advect_both = advect_both
     return ns

@@ -47,18 +47,26 @@ class StageReport:
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall seconds per call of a jitted fn (blocks on the result).
+    """Median wall seconds per call of a jitted fn.
 
     NOTE: on the tunneled-TPU environment a single dispatch costs 25-40 ms of
     relay latency, so this is only trustworthy for fns that are themselves
     long scans.  For individual stages use :func:`time_scanned`, which runs
-    the stage n times inside ONE dispatch."""
+    the stage n times inside ONE dispatch.
+
+    Syncs by fetching a scalar element of the result to the host (see
+    :func:`time_scanned` — ``block_until_ready`` can return early here)."""
+    @jax.jit
+    def run(*a):
+        leaf = jax.tree.leaves(fn(*a))[0]
+        return leaf[(0,) * getattr(leaf, "ndim", 0)]
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(run(*args))
     times: List[float] = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(run(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -75,19 +83,29 @@ def time_scanned(body, init_carry, n: int = 24, iters: int = 3,
     that is 0.0 at runtime — mix loop-invariant operands with ``x + eps * y``
     to create a formal (value-preserving) dependence on the previous
     iteration.
+
+    Sync is a SCALAR element of the final carry computed inside the jitted
+    program and fetched to the host — ``block_until_ready`` through this
+    environment's relay intermittently returns before the program finishes
+    (a round-3 8192² step measured 122 ms by block_until_ready vs 149 ms by
+    host-transfer sync, below its own stage sum; the host transfer agrees
+    with the stage sum).
     """
     import jax.numpy as jnp
 
     @jax.jit
     def run(carry, epss):
-        return jax.lax.scan(lambda c, e: (body(c, e), None), carry, epss)[0]
+        out = jax.lax.scan(lambda c, e: (body(c, e), None), carry, epss)[0]
+        leaf = jax.tree.leaves(out)[0]
+        # scalar element (no ravel/reshape: 1-D relayouts are not free here)
+        return leaf[(0,) * getattr(leaf, "ndim", 0)]
 
     epss = jnp.zeros((n,), jnp.float32)
     for _ in range(warmup):
-        jax.block_until_ready(run(init_carry, epss))
+        float(run(init_carry, epss))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(init_carry, epss))
+        float(run(init_carry, epss))
         best = min(best, time.perf_counter() - t0)
     return best / n

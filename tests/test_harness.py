@@ -111,9 +111,10 @@ def test_stage_timing_report():
     sim = Simulation(cfg)
     rep = sim.stage_timings(iters=2)
     for name in ("Advect", "Vorticity", "Diffuse+Force", "Pressure+Project",
-                 "Paint", "Bloom"):
+                 "Paint+Bloom"):
         assert name in rep.stage_ms
     assert "Force" not in rep.stage_ms and "Project" not in rep.stage_ms
+    assert "Paint" not in rep.stage_ms  # fused render -> one bucket
     text = rep.format()
     assert "SIMULATION END" in text
 

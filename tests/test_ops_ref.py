@@ -168,3 +168,18 @@ def test_apply_bloom(rng):
     got = np.asarray(ref.apply_bloom(jnp.asarray(rgba), jnp.asarray(pos), 0.1, 400.0))
     exp = oracle.apply_bloom(rgba, pos, 0.1, 400.0)
     assert np.max(np.abs(got.astype(int) - exp.astype(int))) <= 1
+
+
+def test_render_frame_matches_composed(rng):
+    """The fused one-pass render must be BIT-identical to the composed
+    pack_rgba -> apply_bloom -> where chain it replaces, in both bloom
+    states (the fused form quantizes in f32 via floor; see render_frame)."""
+    _, _, dye = fields(rng)
+    dye = dye * 1.5 - 0.1  # exercise both clamps
+    dyej = jnp.asarray(dye)
+    pos = jnp.asarray([30.0, 20.0], jnp.float32)
+    packed = ref.pack_rgba(dyej)
+    bloomed = ref.apply_bloom(packed, pos, 0.1, 400.0)
+    for active, expect in ((True, bloomed), (False, packed)):
+        got = ref.render_frame(dyej, pos, 0.1, 400.0, jnp.asarray(active))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
