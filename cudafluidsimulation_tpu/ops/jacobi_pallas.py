@@ -435,7 +435,13 @@ def supported(config: FluidConfig) -> bool:
 def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
     """Split ``iters`` sweeps into bursts of at most ``burst``, each with a
     viable (possibly mirror-padded) geometry.
-    Returns [(k, r, hd, h_pad, w_pad), ...]."""
+    Returns [(k, r, hd, h_pad, w_pad), ...].
+
+    Burst depth stays at the caller's k<=8 even on wide grids: single-burst
+    deltas at 8192² read k=16 ~15% cheaper per sweep (scripts/
+    burst8192_probe.py), but the full-step A/B (scripts/burst_ab8192.py)
+    measured burst16 neutral-to-worse (126.2 vs 125.5 ms) — chained bursts
+    already overlap the per-burst IO the isolated probe pays."""
     out = []
     left = iters
     while left > 0:
@@ -713,20 +719,19 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
 # ---------------------------------------------------------------------------
 
 
-def _replicate_fill(ext: jnp.ndarray, strip_idx, n_strips: int, hd: int):
-    """Edge-REPLICATE the halo rows of physical-boundary strips: the ghost
-    the clamped (CLAMP macro) stencil reads for a single application.  (The
-    Jacobi kernels mirror instead — that is the ghost that stays exact
-    UNDER ITERATION; a one-shot stencil wants the literal clamp row.)"""
-    h_ext, w = ext.shape
-    first = strip_idx == 0
-    last = strip_idx == n_strips - 1
-    low = jnp.concatenate(
-        [jnp.broadcast_to(ext[hd : hd + 1], (hd, w)), ext[hd:]], axis=0)
-    ext = jnp.where(first, low, ext)
-    high = jnp.concatenate(
-        [ext[:-hd], jnp.broadcast_to(ext[-hd - 1 : -hd], (hd, w))], axis=0)
-    return jnp.where(last, high, ext)
+def _edge_rows(mid, lo_blk, hi_blk, first, last, depth: int):
+    """``depth`` valid halo rows below/above a strip, edge-replicated at the
+    physical boundaries.  The selects run on (depth, W) slices — the whole
+    point of the slim one-shot kernels is that NO full-ext concat/where ever
+    materializes (the old _replicate_fill path cost ~6 ext-wide VPU passes
+    per field; vorticity measured 7.6 ms at 8192² against a ~2 ms DMA
+    bound)."""
+    w = mid.shape[-1]
+    lo = jnp.where(first, jnp.broadcast_to(mid[:1], (depth, w)),
+                   lo_blk[-depth:])
+    hi = jnp.where(last, jnp.broadcast_to(mid[-1:], (depth, w)),
+                   hi_blk[:depth])
+    return lo, hi
 
 
 def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
@@ -734,27 +739,35 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
     i = pl.program_id(1)
     dt = sc_ref[0, 0]
     vorticity = sc_ref[1, 0]
-    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
-    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
-    ue = _replicate_fill(ue, i, n_strips, hd)
-    ve = _replicate_fill(ve, i, n_strips, hd)
+    first = i == 0
+    last = i == n_strips - 1
+    um, vm = u_mid[0], v_mid[0]
+    # 2 valid halo rows per side: 1 for the curl's u taps beyond the 1 curl
+    # row the confinement taps read
+    ulo, uhi = _edge_rows(um, u_lo[0], u_hi[0], first, last, 2)
+    vlo, vhi = _edge_rows(vm, v_lo[0], v_hi[0], first, last, 2)
+    ue = jnp.concatenate([ulo, um, uhi], axis=0)  # (r+4, w)
+    ve = jnp.concatenate([vlo, vm, vhi], axis=0)
 
-    # curl on the ext rows (ref.curl: 0.5*(vR - vL - uT + uB), clamped x);
-    # vertical u taps via plain shifts — their edge rows land in halo rows
-    # we either never read or overwrite below
-    vl, vr, _, _ = _clamped_neighbors(ve)
+    # curl on the ext rows (ref.curl: 0.5*(vR - vL - uT + uB), clamped x)
+    vl = jnp.concatenate([ve[:, :1], ve[:, :-1]], axis=1)
+    vr = jnp.concatenate([ve[:, 1:], ve[:, -1:]], axis=1)
     ub = jnp.concatenate([ue[:1], ue[:-1]], axis=0)
     ut = jnp.concatenate([ue[1:], ue[-1:]], axis=0)
     we = 0.5 * (vr - vl - ut + ub)
-    # the curl ghost at a physical edge is the clamp row of the TRUE curl
-    # (ref applies `neighbors` to the computed w field), not the curl of
-    # ghost velocity — replicate the edge curl row over the halo
-    we = _replicate_fill(we, i, n_strips, hd)
-
-    w = we[hd : hd + r, :]
-    wb = we[hd - 1 : hd - 1 + r, :]
-    wt = we[hd + 1 : hd + 1 + r, :]
-    wl, wr, _, _ = _clamped_neighbors(w)
+    # ext rows 1..r+2 are TRUE curl rows (their u/v taps are real or exact
+    # clamp ghosts); core = rows 2..r+1.  The curl ghost at a physical edge
+    # is the clamp row of the TRUE curl (ref applies `neighbors` to the
+    # computed w field), not the curl of ghost velocity: we[1] at the first
+    # strip holds 0.5*(vR-vL) of the replicated row, so patch the single
+    # tap row with the edge's true curl we[2] (and mirror for the top).
+    w = we[2 : 2 + r, :]
+    wb_h = jnp.where(first, we[2:3], we[1:2])
+    wt_h = jnp.where(last, we[r + 1 : r + 2], we[r + 2 : r + 3])
+    wb = jnp.concatenate([wb_h, w[:-1]], axis=0)
+    wt = jnp.concatenate([w[1:], wt_h], axis=0)
+    wl = jnp.concatenate([w[:, :1], w[:, :-1]], axis=1)
+    wr = jnp.concatenate([w[:, 1:], w[:, -1:]], axis=1)
     if variant == "gpu":
         # GPUFluidSim.cu:536-573 (clean sequential semantics of the racy
         # kernel, matching ops.ref.vorticity_confinement_gpu)
@@ -762,24 +775,22 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
         fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-3
         s = w * vorticity / ln
-        u_out[0] = u_mid[0] + fx * s * dt
-        v_out[0] = v_mid[0] + fy * s * dt
+        u_out[0] = um + fx * s * dt
+        v_out[0] = vm + fy * s * dt
     else:
-        # cpuFluidSim.cpp:271-296: gradient of |curl|, negated
-        ab_ = jnp.abs(wb)
-        at_ = jnp.abs(wt)
-        al_, ar_, _, _ = _clamped_neighbors(jnp.abs(w))
-        fx = 0.5 * (at_ - ab_)
-        fy = 0.5 * (ar_ - al_)
+        # cpuFluidSim.cpp:271-296: gradient of |curl|, negated (clamp then
+        # abs == abs then clamp, so |wl|,|wr| are the x-clamped |w| taps)
+        fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
+        fy = 0.5 * (jnp.abs(wr) - jnp.abs(wl))
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
         s = w * vorticity / ln
-        u_out[0] = u_mid[0] - fx * s * dt
-        v_out[0] = v_mid[0] - fy * s * dt
+        u_out[0] = um - fx * s * dt
+        v_out[0] = vm - fy * s * dt
 
 
 def vorticity_supported(h: int, w: int) -> bool:
     """Exact geometries only: the clamp ghosts of this one-shot stencil are
-    supplied by _replicate_fill at the ARRAY edges, so any row/col padding
+    supplied by _edge_rows at the ARRAY edges, so any row/col padding
     would shift them off the physical boundary (mirror rows are the ghost
     that is exact under Jacobi ITERATION, not the literal clamp row a
     single curl/confinement application reads).  Padded odd grids keep the
@@ -831,31 +842,32 @@ def vorticity_confinement(u: jnp.ndarray, v: jnp.ndarray, dt, vorticity,
 # ---------------------------------------------------------------------------
 
 
-def _divergence_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi, out,
+def _divergence_kernel(u_mid, v_mid, v_lo, v_hi, out,
                        *, hd, n_strips, r, half):
+    # u only needs x taps (lane shifts of the resident strip); v needs one
+    # valid halo ROW per side — see _edge_rows for why no full ext is built
     i = pl.program_id(1)
-    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
-    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
-    ue = _replicate_fill(ue, i, n_strips, hd)
-    ve = _replicate_fill(ve, i, n_strips, hd)
-    ul, ur, _, _ = _clamped_neighbors(ue)
-    vb = jnp.concatenate([ve[:1], ve[:-1]], axis=0)
-    vt = jnp.concatenate([ve[1:], ve[-1:]], axis=0)
-    de = (ur - ul) + (vt - vb)
-    core = de[hd : hd + r, :]
+    um, vm = u_mid[0], v_mid[0]
+    vlo, vhi = _edge_rows(vm, v_lo[0], v_hi[0], i == 0, i == n_strips - 1, 1)
+    ul = jnp.concatenate([um[:, :1], um[:, :-1]], axis=1)
+    ur = jnp.concatenate([um[:, 1:], um[:, -1:]], axis=1)
+    vb = jnp.concatenate([vlo, vm[:-1]], axis=0)
+    vt = jnp.concatenate([vm[1:], vhi], axis=0)
+    core = (ur - ul) + (vt - vb)
     out[0] = core * 0.5 if half else core
 
 
 def _project_kernel(p_mid, p_lo, p_hi, u_mid, v_mid, u_out, v_out,
                     *, hd, n_strips, r):
     i = pl.program_id(1)
-    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
-    pe = _replicate_fill(pe, i, n_strips, hd)
-    ps = pe[hd : hd + r, :]
-    pl_, pr_, _, _ = _clamped_neighbors(ps)
+    pm = p_mid[0]
+    plo, phi = _edge_rows(pm, p_lo[0], p_hi[0], i == 0, i == n_strips - 1, 1)
+    pl_ = jnp.concatenate([pm[:, :1], pm[:, :-1]], axis=1)
+    pr_ = jnp.concatenate([pm[:, 1:], pm[:, -1:]], axis=1)
+    pb = jnp.concatenate([plo, pm[:-1]], axis=0)
+    pt = jnp.concatenate([pm[1:], phi], axis=0)
     u_out[0] = u_mid[0] - 0.5 * (pr_ - pl_)
-    v_out[0] = v_mid[0] - 0.5 * (pe[hd + 1 : hd + 1 + r, :]
-                                 - pe[hd - 1 : hd - 1 + r, :])
+    v_out[0] = v_mid[0] - 0.5 * (pt - pb)
 
 
 def _stencil_supported(h: int, w: int, planes: int) -> bool:
@@ -887,10 +899,10 @@ def divergence(u: jnp.ndarray, v: jnp.ndarray, half: bool, *,
         kern,
         out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
         grid=(1, n_strips),
-        in_specs=[mid, lo, hi, mid, lo, hi],
+        in_specs=[mid, mid, lo, hi],
         out_specs=out,
         interpret=_interpret(),
-    )(u3, u3, u3, v3, v3, v3)
+    )(u3, v3, v3, v3)
     return d[0]
 
 
