@@ -263,7 +263,10 @@ def supported(h: int, w: int, c: int, d: int) -> bool:
         _pad_geometry(h, w, c, _halo(d))
         return True
     except ValueError:
-        return False
+        # flat-unviable geometries may still be served by column tiling
+        # (e.g. 8192² at d=31); without it advect would fall back to the
+        # XLA-gather ref op at ~7 ns/element
+        return _tile_plan(h, w, c, d) is not None
 
 
 def _tile_cost(r: int, cb: int, c: int, hd: int, wt: int, wd: int,
@@ -288,13 +291,19 @@ def _tile_plan(h: int, w: int, c: int, d: int):
     hd = _halo(d)
     try:
         _, wp, r_f, cb_f = _pad_geometry(h, w, c, hd)
+        flat_ok = True
     except ValueError:
-        return None
-    if cb_f == c and r_f >= 2 * hd:
+        # no viable flat geometry at all (e.g. 8192² at d=31: the full-width
+        # ext alone overflows VMEM even one-channel-per-program) — tiling is
+        # then the ONLY pallas path, so consider every tile plan
+        wp = -(-w // _LANES) * _LANES
+        flat_ok = False
+    if flat_ok and cb_f == c and r_f >= 2 * hd:
         # flat geometry is healthy: keep the exact-x semantics (tiling only
         # rescues geometries the flat kernel already serves poorly)
         return None
-    flat_cost = _tile_cost(r_f, cb_f, c, hd, wp, 0, 1)
+    flat_cost = (_tile_cost(r_f, cb_f, c, hd, wp, 0, 1) if flat_ok
+                 else float("inf"))
     wd = -(-max(d, 1) // _LANES) * _LANES
     best = None
     lanes = wp // _LANES

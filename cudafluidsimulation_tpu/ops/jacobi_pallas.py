@@ -748,19 +748,27 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
     vlo, vhi = _edge_rows(vm, v_lo[0], v_hi[0], first, last, 2)
     ue = jnp.concatenate([ulo, um, uhi], axis=0)  # (r+4, w)
     ve = jnp.concatenate([vlo, vm, vhi], axis=0)
+    u_out[0], v_out[0] = confine(ue, ve, um, vm, first, last, r, dt,
+                                 vorticity, variant)
 
-    # curl on the ext rows (ref.curl: 0.5*(vR - vL - uT + uB), clamped x)
+
+def curl_taps(ue, ve, first, last, r: int):
+    """TRUE-curl strip + its clamp-ghost taps from (r+4, W) velocity exts
+    whose 2 halo rows per side are real rows or edge-replicate ghosts
+    (x is fully resident: clamped lane shifts supply the x taps).
+
+    Curl on the ext rows (ref.curl: 0.5*(vR - vL - uT + uB), clamped x);
+    ext rows 1..r+2 are TRUE curl rows (their u/v taps are real or exact
+    clamp ghosts); core = rows 2..r+1.  The curl ghost at a physical edge
+    is the clamp row of the TRUE curl (ref applies `neighbors` to the
+    computed w field), not the curl of ghost velocity: we[1] at the first
+    strip holds 0.5*(vR-vL) of the replicated row, so patch the single
+    tap row with the edge's true curl we[2] (and mirror for the top)."""
     vl = jnp.concatenate([ve[:, :1], ve[:, :-1]], axis=1)
     vr = jnp.concatenate([ve[:, 1:], ve[:, -1:]], axis=1)
     ub = jnp.concatenate([ue[:1], ue[:-1]], axis=0)
     ut = jnp.concatenate([ue[1:], ue[-1:]], axis=0)
     we = 0.5 * (vr - vl - ut + ub)
-    # ext rows 1..r+2 are TRUE curl rows (their u/v taps are real or exact
-    # clamp ghosts); core = rows 2..r+1.  The curl ghost at a physical edge
-    # is the clamp row of the TRUE curl (ref applies `neighbors` to the
-    # computed w field), not the curl of ghost velocity: we[1] at the first
-    # strip holds 0.5*(vR-vL) of the replicated row, so patch the single
-    # tap row with the edge's true curl we[2] (and mirror for the top).
     w = we[2 : 2 + r, :]
     wb_h = jnp.where(first, we[2:3], we[1:2])
     wt_h = jnp.where(last, we[r + 1 : r + 2], we[r + 2 : r + 3])
@@ -768,6 +776,11 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
     wt = jnp.concatenate([w[1:], wt_h], axis=0)
     wl = jnp.concatenate([w[:, :1], w[:, :-1]], axis=1)
     wr = jnp.concatenate([w[:, 1:], w[:, -1:]], axis=1)
+    return w, wb, wt, wl, wr
+
+
+def confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant: str):
+    """Confinement force from the curl strip + its 4 taps."""
     if variant == "gpu":
         # GPUFluidSim.cu:536-573 (clean sequential semantics of the racy
         # kernel, matching ops.ref.vorticity_confinement_gpu)
@@ -775,17 +788,23 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
         fy = 0.5 * (jnp.abs(wl) - jnp.abs(wr))
         ln = jnp.sqrt(fx * fx + fy * fy) + 1e-3
         s = w * vorticity / ln
-        u_out[0] = um + fx * s * dt
-        v_out[0] = vm + fy * s * dt
-    else:
-        # cpuFluidSim.cpp:271-296: gradient of |curl|, negated (clamp then
-        # abs == abs then clamp, so |wl|,|wr| are the x-clamped |w| taps)
-        fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
-        fy = 0.5 * (jnp.abs(wr) - jnp.abs(wl))
-        ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
-        s = w * vorticity / ln
-        u_out[0] = um - fx * s * dt
-        v_out[0] = vm - fy * s * dt
+        return um + fx * s * dt, vm + fy * s * dt
+    # cpuFluidSim.cpp:271-296: gradient of |curl|, negated (clamp then
+    # abs == abs then clamp, so |wl|,|wr| are the x-clamped |w| taps)
+    fx = 0.5 * (jnp.abs(wt) - jnp.abs(wb))
+    fy = 0.5 * (jnp.abs(wr) - jnp.abs(wl))
+    ln = jnp.sqrt(fx * fx + fy * fy) + 1e-4
+    s = w * vorticity / ln
+    return um - fx * s * dt, vm - fy * s * dt
+
+
+def confine(ue, ve, um, vm, first, last, r: int, dt, vorticity,
+            variant: str):
+    """curl_taps + confinement on flat (full-width) strips; shared by the
+    standalone vorticity kernel and advect_pallas's fused dye+vorticity
+    kernel."""
+    w, wb, wt, wl, wr = curl_taps(ue, ve, first, last, r)
+    return confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant)
 
 
 def vorticity_supported(h: int, w: int) -> bool:

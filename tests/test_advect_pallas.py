@@ -230,3 +230,14 @@ def test_tiled_full_dispatch_equivalence(rng):
     # reorder the accumulation (1-ulp differences)
     flat = ap._advect_flat(dye, u, v, DT, 1.2, "dye", d, 0, h, 0, w, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(flat), atol=2e-6)
+
+
+def test_tile_plan_rescues_flat_unviable_geometry():
+    """8192²-class width at d=31: no flat geometry fits VMEM even at
+    c_block=1, but column tiling serves it — supported() must say yes and
+    _tile_plan must return a plan (regression: it used to return None,
+    silently dropping advection to the XLA-gather ref op)."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    assert ap._tile_plan(8192, 8192, 3, 31) is not None
+    assert ap.supported(8192, 8192, 3, 31)
