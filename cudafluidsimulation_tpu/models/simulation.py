@@ -172,6 +172,11 @@ class Simulation:
         applications with the stage output threaded back into its input
         (utils.timing.time_scanned) — single-dispatch-per-stage timing is
         untrustworthy through this environment's 25-40 ms relay latency.
+        Caveat: a scanned stage that injects energy self-amplifies (e.g.
+        confinement scanned alone grows |v| every iteration, widening the
+        advection windows a fused advect+confinement stage would rerun), so
+        flow-dependent stage rows can read above their in-step cost; the
+        step total is the ground truth.
         Stages whose carry does not naturally close over their output mix it
         in with ``x + eps * y`` where eps is a traced runtime-0.0 scalar, so
         the measured numerics are unchanged but XLA cannot hoist the loop

@@ -256,17 +256,27 @@ def _pad_geometry(h: int, w: int, c: int, hd: int, wt: int = 0):
     raise ValueError(f"no viable advect geometry for {h}x{w}")
 
 
-def supported(h: int, w: int, c: int, d: int) -> bool:
+def flat_supported(h: int, w: int, c: int, d: int) -> bool:
+    """Viability of the FLAT kernel alone.  Callers that advect x-sharded
+    local views pass ``d_x != 0``, which pins :func:`advect` to the flat
+    path (column tiles assume the array's x edges are PHYSICAL edges, not
+    shard seams) — they must gate on this, not :func:`supported`."""
     if h < _SUBLANE or w < 64:
         return False
     try:
         _pad_geometry(h, w, c, _halo(d))
         return True
     except ValueError:
-        # flat-unviable geometries may still be served by column tiling
-        # (e.g. 8192² at d=31); without it advect would fall back to the
-        # XLA-gather ref op at ~7 ns/element
-        return _tile_plan(h, w, c, d) is not None
+        return False
+
+
+def supported(h: int, w: int, c: int, d: int) -> bool:
+    if flat_supported(h, w, c, d):
+        return True
+    # flat-unviable geometries may still be served by column tiling
+    # (e.g. 8192² at d=31); without it advect would fall back to the
+    # XLA-gather ref op at ~7 ns/element
+    return h >= _SUBLANE and w >= 64 and _tile_plan(h, w, c, d) is not None
 
 
 def _tile_cost(r: int, cb: int, c: int, hd: int, wt: int, wd: int,

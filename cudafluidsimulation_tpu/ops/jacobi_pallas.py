@@ -439,9 +439,11 @@ def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
 
     Burst depth stays at the caller's k<=8 even on wide grids: single-burst
     deltas at 8192² read k=16 ~15% cheaper per sweep (scripts/
-    burst8192_probe.py), but the full-step A/B (scripts/burst_ab8192.py)
-    measured burst16 neutral-to-worse (126.2 vs 125.5 ms) — chained bursts
-    already overlap the per-burst IO the isolated probe pays."""
+    burst8192_probe.py), but full-step measurements put burst16
+    neutral-to-worse (~+1.8 ms by cross-process attribution; see
+    scripts/burst_ab8192.py's docstring for the in-process A/B and its
+    trace-cache caveat) — chained bursts already overlap the per-burst IO
+    the isolated probe pays."""
     out = []
     left = iters
     while left > 0:
@@ -735,7 +737,7 @@ def _edge_rows(mid, lo_blk, hi_blk, first, last, depth: int):
 
 
 def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
-                      u_out, v_out, *, hd, n_strips, r, variant):
+                      u_out, v_out, *, n_strips, r, variant):
     i = pl.program_id(1)
     dt = sc_ref[0, 0]
     vorticity = sc_ref[1, 0]
@@ -748,11 +750,11 @@ def _vorticity_kernel(sc_ref, u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
     vlo, vhi = _edge_rows(vm, v_lo[0], v_hi[0], first, last, 2)
     ue = jnp.concatenate([ulo, um, uhi], axis=0)  # (r+4, w)
     ve = jnp.concatenate([vlo, vm, vhi], axis=0)
-    u_out[0], v_out[0] = confine(ue, ve, um, vm, first, last, r, dt,
+    u_out[0], v_out[0] = _confine(ue, ve, um, vm, first, last, r, dt,
                                  vorticity, variant)
 
 
-def curl_taps(ue, ve, first, last, r: int):
+def _curl_taps(ue, ve, first, last, r: int):
     """TRUE-curl strip + its clamp-ghost taps from (r+4, W) velocity exts
     whose 2 halo rows per side are real rows or edge-replicate ghosts
     (x is fully resident: clamped lane shifts supply the x taps).
@@ -779,7 +781,7 @@ def curl_taps(ue, ve, first, last, r: int):
     return w, wb, wt, wl, wr
 
 
-def confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant: str):
+def _confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant: str):
     """Confinement force from the curl strip + its 4 taps."""
     if variant == "gpu":
         # GPUFluidSim.cu:536-573 (clean sequential semantics of the racy
@@ -798,13 +800,14 @@ def confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant: str):
     return um - fx * s * dt, vm - fy * s * dt
 
 
-def confine(ue, ve, um, vm, first, last, r: int, dt, vorticity,
+def _confine(ue, ve, um, vm, first, last, r: int, dt, vorticity,
             variant: str):
-    """curl_taps + confinement on flat (full-width) strips; shared by the
-    standalone vorticity kernel and advect_pallas's fused dye+vorticity
-    kernel."""
-    w, wb, wt, wl, wr = curl_taps(ue, ve, first, last, r)
-    return confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant)
+    """_curl_taps + _confinement on flat (full-width) strips.  (A fused
+    dye-advect+confinement kernel also consumed these once — measured and
+    rejected, see docs/ROADMAP.md; the split stays because it keeps the
+    ghost-row construction separately testable from the force math.)"""
+    w, wb, wt, wl, wr = _curl_taps(ue, ve, first, last, r)
+    return _confinement(w, wb, wt, wl, wr, um, vm, dt, vorticity, variant)
 
 
 def vorticity_supported(h: int, w: int) -> bool:
@@ -837,7 +840,7 @@ def vorticity_confinement(u: jnp.ndarray, v: jnp.ndarray, dt, vorticity,
                        memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((2, 1), lambda c, i: (0, 0),
                         memory_space=pltpu.SMEM)
-    kern = functools.partial(_vorticity_kernel, hd=hd, n_strips=n_strips,
+    kern = functools.partial(_vorticity_kernel, n_strips=n_strips,
                              r=r, variant=variant)
     u3, v3 = u[None], v[None]
     u2, v2 = pl.pallas_call(
@@ -861,8 +864,7 @@ def vorticity_confinement(u: jnp.ndarray, v: jnp.ndarray, dt, vorticity,
 # ---------------------------------------------------------------------------
 
 
-def _divergence_kernel(u_mid, v_mid, v_lo, v_hi, out,
-                       *, hd, n_strips, r, half):
+def _divergence_kernel(u_mid, v_mid, v_lo, v_hi, out, *, n_strips, half):
     # u only needs x taps (lane shifts of the resident strip); v needs one
     # valid halo ROW per side — see _edge_rows for why no full ext is built
     i = pl.program_id(1)
@@ -877,7 +879,7 @@ def _divergence_kernel(u_mid, v_mid, v_lo, v_hi, out,
 
 
 def _project_kernel(p_mid, p_lo, p_hi, u_mid, v_mid, u_out, v_out,
-                    *, hd, n_strips, r):
+                    *, n_strips):
     i = pl.program_id(1)
     pm = p_mid[0]
     plo, phi = _edge_rows(pm, p_lo[0], p_hi[0], i == 0, i == n_strips - 1, 1)
@@ -911,8 +913,8 @@ def divergence(u: jnp.ndarray, v: jnp.ndarray, half: bool, *,
     mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
     out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
                        memory_space=pltpu.VMEM)
-    kern = functools.partial(_divergence_kernel, hd=hd, n_strips=n_strips,
-                             r=r, half=half)
+    kern = functools.partial(_divergence_kernel, n_strips=n_strips,
+                             half=half)
     u3, v3 = u[None], v[None]
     d = pl.pallas_call(
         kern,
@@ -937,7 +939,7 @@ def project(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray, *,
     mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
     out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
                        memory_space=pltpu.VMEM)
-    kern = functools.partial(_project_kernel, hd=hd, n_strips=n_strips, r=r)
+    kern = functools.partial(_project_kernel, n_strips=n_strips)
     u3, v3, p3 = u[None], v[None], p[None]
     u2, v2 = pl.pallas_call(
         kern,

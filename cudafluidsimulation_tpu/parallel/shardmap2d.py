@@ -523,8 +523,13 @@ def _local_ops_2d(config: FluidConfig, mesh: Mesh):
 
         k = min(config.jacobi_burst, hl, wl)
         local_jac = dataclasses.replace(config, ny=hl + 2 * k, nx=wl + 2 * k)
+        # flat_supported, NOT supported: the local advect runs with
+        # d_x=d (x-sharded view), which pins it to the flat kernel — the
+        # column-tiled rescue path would treat shard seams as physical
+        # x edges
         use_pallas = (jacobi_pallas.supported(local_jac)
-                      and advect_pallas.supported(hl + 2 * d, wl + 2 * d, 3, d))
+                      and advect_pallas.flat_supported(hl + 2 * d,
+                                                       wl + 2 * d, 3, d))
     return sharded_ops_2d(
         "rows", "cols", config.ny, config.nx, d,
         use_pallas=use_pallas,

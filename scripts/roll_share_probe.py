@@ -77,6 +77,10 @@ def run_case(tag, stub_axis1, stub_axis2):
     shim.roll = roll
     orig = ap.pltpu
     ap.pltpu = shim
+    # module-level jits cache traced jaxprs by (fun, avals) — without this
+    # the stubbed cases would silently reuse the first case's real-roll
+    # trace and measure nothing
+    jax.clear_caches()
     try:
         ms = delta_time(
             lambda dd, uu, vv: ap.advect_dye(dd, uu, vv, dt, 1.2, d=d),
