@@ -241,6 +241,163 @@ def _pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
     out[0] = pe[hd:-hd, wd:-wd]
 
 
+def _col_mirror_ext(ext, t, t_cnt: int, hd: int, wd: int):
+    """_col_edge_fill applied to an ALREADY-COMPUTED (he, wext) ext (the
+    in-kernel divergence): mirror the core's edge columns onto the halo
+    region's inner hd cols at physical x edges."""
+    left, right = _col_edge_fill(ext[:, :wd], ext[:, -wd:], ext[:, wd:-wd],
+                                 t, t_cnt, hd)
+    return jnp.concatenate([left, ext[:, wd:-wd], right], axis=1)
+
+
+def _first_pressure_kernel_tiled(u_mm, u_ml, u_mr, u_tm, u_tl, u_tr, u_bm,
+                                 u_bl, u_br, v_mm, v_ml, v_mr, v_tm, v_tl,
+                                 v_tr, v_bm, v_bl, v_br, p_out, d_out,
+                                 *, k, hd, n_strips, t_cnt, wd, half):
+    """Tiled burst 1 fused with divergence (the wide-grid sibling of
+    _first_pressure_kernel): read velocity through the 3x3 assembly, build
+    div in VMEM, run k sweeps from p=0, emit p AND div.  Mirror ghosts at
+    distance 1 equal the clamp ghost the divergence taps need (p(-1)=p(0)
+    even reflection), and the div ext is then itself mirror-ghosted (the
+    sweep-invariant form); k <= hd-1 keeps the emitted core bit-exact
+    global Jacobi — same argument as the flat kernel."""
+    i = pl.program_id(1)
+    ti = pl.program_id(2)
+    ue = _assemble_ext(u_mm, u_ml, u_mr, u_tm, u_tl, u_tr, u_bm, u_bl, u_br,
+                       ti, t_cnt, hd)
+    ve = _assemble_ext(v_mm, v_ml, v_mr, v_tm, v_tl, v_tr, v_bm, v_bl, v_br,
+                       ti, t_cnt, hd)
+    ue = _edge_fill(ue, i, n_strips, hd)
+    ve = _edge_fill(ve, i, n_strips, hd)
+    de = _divergence_ext(ue, ve, half)
+    de = _col_mirror_ext(de, ti, t_cnt, hd, wd)
+    de = _edge_fill(de, i, n_strips, hd)
+    pe = de * -0.25  # sweep 1 from p=0: all neighbor taps are zero
+    for _ in range(k - 1):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    p_out[0] = pe[hd:-hd, wd:-wd]
+    d_out[0] = de[hd:-hd, wd:-wd]
+
+
+def _last_pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm,
+                                p_bl, p_br, d_mm, d_ml, d_mr, d_tm, d_tl,
+                                d_tr, d_bm, d_bl, d_br, u_mid, v_mid,
+                                p_out, u_out, v_out,
+                                *, k, hd, n_strips, t_cnt, wd):
+    """Tiled final burst fused with projection: k sweeps, then subtract the
+    pressure gradient from the core-resident velocity.  The gradient's
+    clamped x taps come straight from the ext (mirror == clamp at distance
+    1); k <= hd-1 keeps the core+-1 region exact for the taps."""
+    i = pl.program_id(1)
+    ti = pl.program_id(2)
+    pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl, p_br,
+                       ti, t_cnt, hd)
+    de = _assemble_ext(d_mm, d_ml, d_mr, d_tm, d_tl, d_tr, d_bm, d_bl, d_br,
+                       ti, t_cnt, hd)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    de = _edge_fill(de, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = (l + r + b + t - de) * 0.25
+    rr = pe.shape[0] - 2 * hd
+    ps = pe[hd:-hd, wd:-wd]
+    pl_ = pe[hd:-hd, wd - 1 : -wd - 1]
+    pr_ = pe[hd:-hd, wd + 1 : pe.shape[1] - wd + 1]
+    # y taps: the mirror ghost row can drift 1 ulp from its core image
+    # under the sweeps (l+r+b+t commutes its x operands but associates the
+    # y ones differently), so physical edges tap the core row itself —
+    # bit-identical to the unfused _project_kernel's edge-replicate
+    pb_h = jnp.where(i == 0, ps[:1], pe[hd - 1 : hd, wd:-wd])
+    pt_h = jnp.where(i == n_strips - 1, ps[-1:],
+                     pe[hd + rr : hd + rr + 1, wd:-wd])
+    pb_ = jnp.concatenate([pb_h, ps[:-1]], axis=0)
+    pt_ = jnp.concatenate([ps[1:], pt_h], axis=0)
+    p_out[0] = ps
+    u_out[0] = u_mid[0] - 0.5 * (pr_ - pl_)
+    v_out[0] = v_mid[0] - 0.5 * (pt_ - pb_)
+
+
+def _pressure_project_tiled(u3, v3, ks, h: int, w: int, half: bool,
+                            block_rows: int, burst: int):
+    """Wide-grid pressure_project with divergence fused into the first
+    TILED burst and projection into the last (exact unpadded geometries,
+    len(ks) >= 2; caller checked _fused_tiled_plans).  Replaces the
+    decomposed divergence/solve/project path's two single-pass kernels
+    AND the zeros-p materialization the first plain burst reads."""
+    plan1, planL = _fused_tiled_plans(h, w, ks, block_rows)
+    k1, kl = ks[0], ks[-1]
+    hd1 = _halo_depth(k1 + 1)
+    hdl = _halo_depth(kl + 1)
+
+    wt, wd, t_cnt, r = plan1
+    unpad, halo, out = _tiled_specs(h, w, r, hd1, wt, wd)
+    specs = [unpad["mm"], halo["ml"], halo["mr"], unpad["tm"], halo["tl"],
+             halo["tr"], unpad["bm"], halo["bl"], halo["br"]]
+    kern = functools.partial(_first_pressure_kernel_tiled, k=k1, hd=hd1,
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd, half=half)
+    p, d = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        grid=(1, h // r, t_cnt),
+        in_specs=specs + specs,
+        out_specs=[out, out],
+        interpret=_interpret(),
+    )(*([u3] * 9), *([v3] * 9))
+
+    mid_iters = sum(ks[1:-1])
+    if mid_iters:
+        p = pressure_solve(d[0], mid_iters, block_rows=block_rows,
+                           burst=burst, init=p[0])[None]
+
+    wt, wd, t_cnt, r = planL
+    unpad, halo, out = _tiled_specs(h, w, r, hdl, wt, wd)
+    specs = [unpad["mm"], halo["ml"], halo["mr"], unpad["tm"], halo["tl"],
+             halo["tr"], unpad["bm"], halo["bl"], halo["br"]]
+    kern = functools.partial(_last_pressure_kernel_tiled, k=kl, hd=hdl,
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd)
+    p2, u2, v2 = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+        grid=(1, h // r, t_cnt),
+        in_specs=specs + specs + [unpad["mm"], unpad["mm"]],
+        out_specs=[out, out, out],
+        interpret=_interpret(),
+    )(*([p] * 9), *([d] * 9), u3, v3)
+    return u2[0], v2[0], p2[0]
+
+
+def _fused_tiled_plans(h: int, w: int, ks, block_rows: int):
+    """(plan_first, plan_last) for the fused tiled end bursts, or None.
+    Requires exact (unpadded) geometry at every burst's halo depth — the
+    div/project fusions have no mirror-padding re-fill invariant — and a
+    viable tiled plan at the deeper hd = k+1 halos (planes=8: the fused
+    kernels hold ~twice the live planes of a plain burst)."""
+    if len(ks) < 2:
+        return None
+    plans = []
+    try:
+        for k in (ks[0], ks[-1]):
+            hd = _halo_depth(k + 1)
+            if _pad_geometry(h, w, hd, block_rows)[:2] != (h, w):
+                return None
+            plan = _col_plan(h, w, hd, block_rows, planes=8)
+            if plan is None:
+                return None
+            plans.append(plan)
+        # middle bursts run the plain tiled solver; their geometry must
+        # also be exact (no re-mirrored padding between fused ends)
+        if sum(ks[1:-1]):
+            hd_mid = _halo_depth(ks[1])
+            if _pad_geometry(h, w, hd_mid, block_rows)[:2] != (h, w):
+                return None
+            if _col_plan(h, w, hd_mid, block_rows) is None:
+                return None
+    except ValueError:
+        return None
+    return tuple(plans)
+
+
 def _diffuse_kernel_tiled(alpha_ref, amp_ref, sp_ref, f_mm, f_ml, f_mr,
                           f_tm, f_tl, f_tr, f_bm, f_bl, f_br, out,
                           *, k, hd, n_strips, t_cnt, wd, wt, splat):
@@ -624,17 +781,27 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
     if iters == 0:
         return u, v, jnp.zeros_like(u)
 
-    # Wide grids: run EVERY burst through the column-tiled solver and pay
-    # two cheap single-pass kernels for div/project instead of fusing them
-    # into flat end bursts (whose r=16 strips cost ~3x halo compute at
-    # w=8192 — measured net win, BASELINE.md r3 table).
-    if (divergence_supported(h, w)
-            and _col_plan(h, w, _halo_depth(min(burst, iters)),
-                          block_rows) is not None):
-        d = divergence(u, v, half, block_rows=block_rows)
-        p = pressure_solve(d, iters, block_rows=block_rows, burst=burst)
-        u2, v2 = project(u, v, p, block_rows=block_rows)
-        return u2, v2, p
+    # Wide grids run the bursts through the column-tiled solver.  When the
+    # geometry is exact, divergence folds into the first TILED burst and
+    # projection into the last (_pressure_project_tiled — also erases the
+    # zeros-p array the plain first burst reads); otherwise fall back to
+    # two cheap single-pass kernels around the tiled solver (still better
+    # than the flat r=16 fused end bursts at w=8192 — BASELINE.md r3).
+    if _col_plan(h, w, _halo_depth(min(burst, iters)),
+                 block_rows) is not None:
+        ks = []
+        left = iters
+        while left > 0:
+            ks.append(min(burst, left))
+            left -= ks[-1]
+        if _fused_tiled_plans(h, w, ks, block_rows) is not None:
+            return _pressure_project_tiled(u[None], v[None], ks, h, w,
+                                           half, block_rows, burst)
+        if divergence_supported(h, w):
+            d = divergence(u, v, half, block_rows=block_rows)
+            p = pressure_solve(d, iters, block_rows=block_rows, burst=burst)
+            u2, v2 = project(u, v, p, block_rows=block_rows)
+            return u2, v2, p
 
     u3, v3 = u[None], v[None]
 

@@ -418,3 +418,66 @@ def test_divergence_project_override_wiring_mg():
     assert ops.project is not ref.project
     cfg2 = FluidConfig.gpu_reference(nx=960, ny=540, backend="pallas")
     assert get_ops(cfg2).divergence is ref.divergence
+
+
+def test_fused_tiled_pressure_end_bursts(rng):
+    """Wide-grid pressure_project with divergence fused into the first
+    TILED burst and projection into the last must be BIT-identical to the
+    decomposed tiled path (div kernel + tiled solve + project kernel),
+    including the physical-edge gradient taps (a mirror ghost row drifts
+    1 ulp from its core image under sweeps — the kernel taps the core row
+    at physical edges instead).  jax.clear_caches() between the variants:
+    the monkeypatched dispatch must not reuse the other variant's trace."""
+    import jax
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    h, w = 64, 512
+    u = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    orig_plan = jp._col_plan
+
+    def patched(hh, ww, hd, req, planes=4):
+        return ((256, 128, 2, 32) if ww == 512
+                else orig_plan(hh, ww, hd, req, planes))
+
+    jp._col_plan = patched
+    orig_ftp = jp._fused_tiled_plans
+    try:
+        for iters, burst in [(20, 8), (10, 5)]:
+            assert jp._fused_tiled_plans(
+                h, w, [min(burst, iters - i * burst)
+                       for i in range((iters + burst - 1) // burst)],
+                256) is not None
+            jax.clear_caches()
+            fu, fv, fp = map(np.asarray, jp.pressure_project(
+                u, v, iters, True, block_rows=256, burst=burst))
+            jp._fused_tiled_plans = lambda *a, **k: None
+            jax.clear_caches()
+            du, dv, dp = map(np.asarray, jp.pressure_project(
+                u, v, iters, True, block_rows=256, burst=burst))
+            jp._fused_tiled_plans = orig_ftp
+            np.testing.assert_array_equal(fp, dp)
+            np.testing.assert_array_equal(fu, du)
+            np.testing.assert_array_equal(fv, dv)
+            # and the composition tracks the jnp ref within f32 rounding
+            eu, ev, ep = ref.pressure_project(u, v, iters, True)
+            np.testing.assert_allclose(fp, np.asarray(ep), atol=2e-5)
+            np.testing.assert_allclose(fu, np.asarray(eu), atol=2e-5)
+            np.testing.assert_allclose(fv, np.asarray(ev), atol=2e-5)
+    finally:
+        jp._fused_tiled_plans = orig_ftp
+        jp._col_plan = orig_plan
+
+
+def test_fused_tiled_plans_gates():
+    """Padded geometries and single-burst schedules must NOT take the
+    fused tiled path (no mirror-padding re-fill invariant there)."""
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+
+    assert jp._fused_tiled_plans(64, 512, [8], 256) is None       # 1 burst
+    # 100-iter schedule at the real 8192² geometry gets plans
+    ks = [8] * 12 + [4]
+    assert jp._fused_tiled_plans(8192, 8192, ks, 256) is not None
+    # odd height pads -> refused
+    assert jp._fused_tiled_plans(8200, 8192, ks, 256) is None
