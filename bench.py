@@ -88,6 +88,11 @@ def main():
             # (per-step max |v|*dt, scanned — not just the final state);
             # exact means no step's backtrace was clamped by the d bound
             _, (disp_x, disp_y) = sim.run_displacement(state, imp)
+            from cudafluidsimulation_tpu.ops import advect_pallas
+
+            x_bounded = cfg.resolve_backend() == "pallas" and (
+                advect_pallas.uses_column_tiling(n, n, 2, d)
+                or advect_pallas.uses_column_tiling(n, n, 3, d))
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             last_err = e
@@ -107,7 +112,10 @@ def main():
         "quiet_steps_per_sec": round(steps / quiet_sec, 2),
         "max_displacement": d,
         "realized_max_displacement": round(max(disp_x, disp_y), 2),
-        "exact": bool(disp_y <= d),  # vertical is the bounded axis
+        # vertical taps are always bounded at d on the pallas path; the
+        # column-tiled kernel (which the dye channels use at 2048²/d=31)
+        # bounds horizontal taps too — mirror the CLI's _clamp_warning logic
+        "exact": bool(disp_y <= d and (disp_x <= d or not x_bounded)),
     }
     print(json.dumps(result))
     return 0
