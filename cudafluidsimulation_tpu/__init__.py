@@ -19,6 +19,17 @@ Design (TPU-first, not a port):
     exchange over a ``jax.sharding.Mesh``.
 """
 
+import os as _os
+
+if _os.environ.get("CUDAFLUIDSIM_PLATFORM"):
+    # Honor the platform override for EVERY entry point (CLI, probe scripts,
+    # bench) — env vars like JAX_PLATFORMS are latched pre-import by container
+    # sitecustomize hooks, but a config update after import always works.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms",
+                       _os.environ["CUDAFLUIDSIM_PLATFORM"])
+
 from cudafluidsimulation_tpu.config import FluidConfig, PALETTE
 from cudafluidsimulation_tpu.state import FluidState, init_state
 from cudafluidsimulation_tpu.models.pipelines import make_step

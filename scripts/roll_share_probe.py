@@ -18,8 +18,8 @@ sys.path.insert(0, ".")
 from cudafluidsimulation_tpu.ops import advect_pallas as ap  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-n = 2048
-d = 31
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+d = int(sys.argv[2]) if len(sys.argv) > 2 else 31
 dt = 1 / 60
 
 

@@ -20,7 +20,7 @@ from cudafluidsimulation_tpu.ops import jacobi_pallas as jp  # noqa: E402
 from cudafluidsimulation_tpu.utils.impulse import orbit_impulse  # noqa: E402
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-steps = 8
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 orig_plans = jp._fused_tiled_plans
 
 
