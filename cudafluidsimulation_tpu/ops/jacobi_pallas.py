@@ -600,7 +600,12 @@ def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
     neutral-to-worse (~+1.8 ms by cross-process attribution; see
     scripts/burst_ab8192.py's docstring for the in-process A/B and its
     trace-cache caveat) — chained bursts already overlap the per-burst IO
-    the isolated probe pays."""
+    the isolated probe pays.
+
+    SMALL grids can instead run ALL sweeps as ONE deep burst — see
+    :func:`deep_burst`, which callers (ops.pallas_kernels) consult to pick
+    ``burst``/``requested``; the schedule itself stays caller-driven so
+    compositions that pin bit-equality across paths chunk identically."""
     out = []
     left = iters
     while left > 0:
@@ -610,6 +615,49 @@ def _burst_schedule(iters: int, burst: int, h: int, w: int, requested: int):
         out.append((k, r, hd, h_pad, w_pad))
         left -= k
     return out
+
+
+def deep_burst(h: int, w: int, iters: int, block_rows: int, burst: int):
+    """(burst', block_rows') that runs ALL ``iters`` sweeps as ONE deep
+    burst when that geometry is viable and not materially more compute than
+    the k<=burst schedule — iters/burst fewer HBM round trips AND launches
+    (small grids: 512² pressure-30 goes 4 launches -> 1; the reference
+    workload's 960x540 diffuse-20 goes 3 -> 1).  Returns the inputs
+    unchanged when the deep burst loses:
+
+      - the flagship 2048² and wide grids reject on halo overhead (deep
+        halos shrink the strip: (r+2*halo(iters))/r blows past the shallow
+        schedule's — the measured burst-depth lesson, scripts/
+        diffuse_probe.py: burst=20 at 2048² is WORSE);
+      - geometries whose deep halo demands mirror padding deeper than the
+        field itself (e.g. 48 rows at iters=40 need a 72-row pad, and
+        _mirror_pad can reflect at most the field) reject on that.
+
+    Exactness is the standard argument: k <= hd = halo_depth(iters) by
+    construction, the mirror pad is >= hd >= k deep, so far-edge clamp
+    corruption never re-enters the physical region within one burst."""
+    if iters <= burst:
+        return burst, block_rows
+    hd_d = _halo_depth(iters)
+    hd_s = _halo_depth(burst)
+    try:
+        hp_d, wp_d, r_d = _pad_geometry(h, w, hd_d, 1 << 30)
+        hp_s, wp_s, r_s = _pad_geometry(h, w, hd_s, block_rows)
+    except ValueError:
+        return burst, block_rows
+    if hp_d - h > h or wp_d - w > w:
+        return burst, block_rows
+    # Small grids (≤ the reference's padded 960x540): one sweep is a few µs
+    # of VPU time, so the saved launches/HBM trips dominate ANY halo-compute
+    # overhead; above that, only take the deep burst when its extra compute
+    # (deep halos shrink strips and may force deeper padding) stays within
+    # ~15% of the shallow schedule's.
+    if h * w > 576 * 1024:
+        deep = ((r_d + 2.0 * hd_d) / r_d) * (hp_d * wp_d) / (hp_s * wp_s)
+        shallow = (r_s + 2.0 * hd_s) / r_s
+        if deep > 1.15 * shallow:
+            return burst, block_rows
+    return iters, 1 << 30
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))

@@ -26,43 +26,50 @@ def overrides(config: FluidConfig) -> dict:
 
     out = {}
     if jacobi_pallas.supported(config):
+        # small grids run each whole Jacobi stage as ONE deep burst when
+        # that wins (fewer HBM trips/launches); see jacobi_pallas.deep_burst
+        dif_burst, dif_rows = jacobi_pallas.deep_burst(
+            config.ny, config.nx, config.diffusion_iters,
+            config.block_rows, config.jacobi_burst)
+        prs_burst, prs_rows = jacobi_pallas.deep_burst(
+            config.ny, config.nx, config.pressure_iters,
+            config.block_rows, config.jacobi_burst)
         out["diffuse"] = functools.partial(
             jacobi_pallas.diffuse,
-            block_rows=config.block_rows,
-            burst=config.jacobi_burst,
+            block_rows=dif_rows,
+            burst=dif_burst,
         )
         out["diffuse_multi"] = functools.partial(
             jacobi_pallas.diffuse_multi,
-            block_rows=config.block_rows,
-            burst=config.jacobi_burst,
+            block_rows=dif_rows,
+            burst=dif_burst,
         )
         out["diffuse_multi_splat"] = functools.partial(
             jacobi_pallas.diffuse_multi_splat,
-            block_rows=config.block_rows,
-            burst=config.jacobi_burst,
+            block_rows=dif_rows,
+            burst=dif_burst,
         )
         out["pressure_solve"] = functools.partial(
             jacobi_pallas.pressure_solve,
-            block_rows=config.block_rows,
-            burst=config.jacobi_burst,
+            block_rows=prs_rows,
+            burst=prs_burst,
         )
         if jacobi_pallas.fusable(config.ny, config.nx, config.pressure_iters,
-                                 config.block_rows, config.jacobi_burst):
+                                 prs_rows, prs_burst):
             out["pressure_project"] = functools.partial(
                 jacobi_pallas.pressure_project,
-                block_rows=config.block_rows,
-                burst=config.jacobi_burst,
+                block_rows=prs_rows,
+                burst=prs_burst,
             )
         else:
             # unfusable geometry (mirror-padded grids): still burst-solve the
             # sweeps in pallas, with jnp divergence/project around them
             from cudafluidsimulation_tpu.ops import ref as _r
 
-            def _pp(u, v, iters, half, _cfg=config):
+            def _pp(u, v, iters, half, _br=prs_rows, _bu=prs_burst):
                 d = _r.divergence(u, v, half)
                 p = jacobi_pallas.pressure_solve(
-                    d, iters, block_rows=_cfg.block_rows,
-                    burst=_cfg.jacobi_burst)
+                    d, iters, block_rows=_br, burst=_bu)
                 u2, v2 = _r.project(u, v, p)
                 return u2, v2, p
 

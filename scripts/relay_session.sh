@@ -20,4 +20,5 @@ run tiledfuse_ab 1800 python scripts/tiledfuse_ab.py
 run vort8192     1500 python scripts/vort8192_probe.py
 run roll_share   1500 python scripts/roll_share_probe.py
 run smallgrid    1200 python scripts/smallgrid_probe.py
+run deepburst_ab 1500 python scripts/deepburst_ab.py
 echo "all done: logs in $LOG"

@@ -481,3 +481,59 @@ def test_fused_tiled_plans_gates():
     assert jp._fused_tiled_plans(8192, 8192, ks, 256) is not None
     # odd height pads -> refused
     assert jp._fused_tiled_plans(8200, 8192, ks, 256) is None
+
+
+def test_deep_burst_gating():
+    """Small grids run whole Jacobi stages as ONE deep burst; the flagship
+    2048² and wide grids keep the shallow k<=8 schedule (halo overhead);
+    geometries whose deep pad would exceed the field reject outright."""
+    db = jacobi_pallas.deep_burst
+    assert db(512, 512, 30, 256, 8) == (30, 1 << 30)
+    assert db(540, 960, 20, 256, 8) == (20, 1 << 30)    # reference workload
+    assert db(256, 256, 30, 256, 8) == (30, 1 << 30)
+    assert db(2048, 2048, 30, 256, 8) == (8, 256)       # flagship untouched
+    assert db(8192, 8192, 100, 256, 8) == (8, 256)
+    assert db(48, 128, 40, 256, 8) == (8, 256)          # pad 72 > field 48
+    assert db(128, 128, 5, 256, 8) == (8, 256)          # iters <= burst
+    # the accepted geometries must actually schedule as one burst
+    assert len(jacobi_pallas._burst_schedule(30, 30, 512, 512, 1 << 30)) == 1
+    assert len(jacobi_pallas._burst_schedule(20, 20, 540, 960, 1 << 30)) == 1
+
+
+@pytest.mark.parametrize("shape,iters", [((512, 512), 30), ((540, 960), 20),
+                                         ((256, 256), 30)])
+def test_deep_burst_pressure_matches_ref(rng, shape, iters):
+    """The deep single-burst pressure solve (all sweeps, one launch) matches
+    the jnp ref op — exactness survives the deep halo + deeper mirror pad
+    (pad >= halo_depth(iters) >= iters keeps far-edge corruption out)."""
+    div = rng.standard_normal(shape).astype(np.float32)
+    burst, rows = jacobi_pallas.deep_burst(*shape, iters, 256, 8)
+    assert burst == iters
+    exp = ref.pressure_solve(jnp.asarray(div), iters)
+    got = jacobi_pallas.pressure_solve(jnp.asarray(div), iters,
+                                       block_rows=rows, burst=burst)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=5e-6)
+
+
+def test_deep_burst_diffuse_and_project_match_ref(rng):
+    """Deep-burst diffuse_multi (one launch) and the deep single fused
+    pressure_project kernel match the ref ops at 512²."""
+    h, w = 512, 512
+    f = rng.standard_normal((5, h, w)).astype(np.float32)
+    coeffs = jnp.asarray([1.0, 1.0, 0.5, 0.5, 0.5], jnp.float32)
+    burst, rows = jacobi_pallas.deep_burst(h, w, 20, 256, 8)
+    exp = ref.diffuse_multi(jnp.asarray(f), 1 / 60, coeffs, 20)
+    got = jacobi_pallas.diffuse_multi(jnp.asarray(f), 1 / 60, coeffs, 20,
+                                      block_rows=rows, burst=burst)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=5e-6)
+
+    u = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    burst, rows = jacobi_pallas.deep_burst(h, w, 30, 256, 8)
+    assert jacobi_pallas.fusable(h, w, 30, rows, burst)
+    eu, ev, ep = ref.pressure_project(u, v, 30, True)
+    gu, gv, gp = jacobi_pallas.pressure_project(u, v, 30, True,
+                                                block_rows=rows, burst=burst)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=2e-5)
