@@ -21,10 +21,13 @@ Design (TPU-first, not a port):
 
 import os as _os
 
-if _os.environ.get("CUDAFLUIDSIM_PLATFORM"):
+if _os.environ.get("CUDAFLUIDSIM_PLATFORM") and not _os.environ.get(
+        "TEST_ON_TPU"):
     # Honor the platform override for EVERY entry point (CLI, probe scripts,
     # bench) — env vars like JAX_PLATFORMS are latched pre-import by container
     # sitecustomize hooks, but a config update after import always works.
+    # TEST_ON_TPU wins over a lingering exported override: that run's whole
+    # point is the real chip (tests/conftest.py makes the same choice).
     import jax as _jax
 
     _jax.config.update("jax_platforms",

@@ -649,10 +649,12 @@ def deep_burst(h: int, w: int, iters: int, block_rows: int, burst: int):
         return burst, block_rows
     # Small grids (≤ the reference's padded 960x540): one sweep is a few µs
     # of VPU time, so the saved launches/HBM trips dominate ANY halo-compute
-    # overhead; above that, only take the deep burst when its extra compute
-    # (deep halos shrink strips and may force deeper padding) stays within
-    # ~15% of the shallow schedule's.
-    if h * w > 576 * 1024:
+    # overhead; above that — or whenever the geometry is wide enough for the
+    # column-tiled solver, whose deep-halo economics this flat-strip model
+    # only bounds from below — only take the deep burst when its extra
+    # compute (deep halos shrink strips and may force deeper padding) stays
+    # within ~15% of the shallow schedule's.
+    if h * w > 576 * 1024 or wp_d >= _COL_TILE_MIN_W:
         deep = ((r_d + 2.0 * hd_d) / r_d) * (hp_d * wp_d) / (hp_s * wp_s)
         shallow = (r_s + 2.0 * hd_s) / r_s
         if deep > 1.15 * shallow:

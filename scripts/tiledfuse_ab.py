@@ -20,7 +20,8 @@ from cudafluidsimulation_tpu.ops import jacobi_pallas as jp  # noqa: E402
 from cudafluidsimulation_tpu.utils.impulse import orbit_impulse  # noqa: E402
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+n_short = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+n_long = int(sys.argv[3]) if len(sys.argv) > 3 else 12
 orig_plans = jp._fused_tiled_plans
 
 
@@ -29,23 +30,32 @@ def measure(tag):
     cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
                                     backend="auto")
     sim = Simulation(cfg)
-    imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
-
-    @jax.jit
-    def run(st, im):
-        out = sim._jit_run(st, im)
-        return out, out.u[0, 0]
-
     st = sim.init()
-    _, s = run(st, imp)
-    float(s)  # compile + sync via host transfer
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, s = run(st, imp)
-        float(s)
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({tag: round(best / steps * 1000, 2)}), flush=True)
+
+    def make(k):
+        imp = orbit_impulse(k, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+
+        @jax.jit
+        def run(s, im):
+            out = sim._jit_run(s, im)
+            return out.u[0, 0]
+
+        return lambda: float(run(st, imp))  # host transfer = honest sync
+
+    short, long_ = make(n_short), make(n_long)
+    short(); long_()  # compile both lengths
+
+    def t(g):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            g()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # two-length delta cancels the constant tunnel dispatch overhead
+    ms = (t(long_) - t(short)) / (n_long - n_short) * 1e3
+    print(json.dumps({tag: round(ms, 2)}), flush=True)
 
 
 try:

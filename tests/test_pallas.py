@@ -537,3 +537,23 @@ def test_deep_burst_diffuse_and_project_match_ref(rng):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=2e-5)
+
+
+def test_deep_burst_diffuse_multi_splat_reference_workload(rng):
+    """The default gpu pipeline's diffuse_multi_splat — splat fused into
+    what is now the ONLY burst — stays exact on the deep single-burst path
+    at the reference's own mirror-padded 960x540 workload (the splat tail's
+    global coords must ignore the pad rows)."""
+    h, w = 540, 960
+    f = rng.standard_normal((5, h, w)).astype(np.float32)
+    coeffs = jnp.asarray([1.0, 1.0, 0.5, 0.5, 0.5], jnp.float32)
+    amps = jnp.asarray([3.0, -2.0, 0.6, 0.2, 0.1], jnp.float32)
+    last = jnp.asarray([480.0, 270.0], jnp.float32)
+    burst, rows = jacobi_pallas.deep_burst(h, w, 20, 256, 8)
+    assert burst == 20
+    exp = ref.diffuse_multi_splat(jnp.asarray(f), 1 / 60, coeffs, 20,
+                                  amps, last, 220.0)
+    got = jacobi_pallas.diffuse_multi_splat(jnp.asarray(f), 1 / 60, coeffs,
+                                            20, amps, last, 220.0,
+                                            block_rows=rows, burst=burst)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=5e-6)
