@@ -32,14 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(r):
+    # honest sync: fetch ONE element to the host (block_until_ready
+    # intermittently returns early through the device relay — BASELINE.md
+    # r3 sync-artifact note; a host transfer cannot)
+    leaf = jax.tree.leaves(r)[0]
+    return float(jnp.asarray(leaf)[(0,) * jnp.asarray(leaf).ndim])
+
+
 def timed(fn, *args, reps=3):
-    r = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), r)
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -76,6 +82,20 @@ def main():
     imp = constant_impulse(100, cfg.dt, pos=(n / 2, n / 2), last_pos=(n / 2 - 3, n / 2 - 2))
     sec = timed(sim._jit_run, sim.init(), imp)
     emit("cpu-parity 256^2 x100 center-splat", 100, sec, n * n)
+
+    # 1b. the reference's OWN workload: 960x540, 20/30 iters, driven —
+    # frame-for-frame vs the RTX 3090's 8.99 ms/frame (108 FPS)
+    if on_tpu:
+        nx, ny = 960, 540
+        steps = 200
+        cfg = FluidConfig.gpu_reference(nx=nx, ny=ny, backend="auto")
+        sim = Simulation(cfg)
+        imp = orbit_impulse(steps, cfg.dt, center=(nx / 2, ny / 2),
+                            radius=ny / 8)
+        sec = timed(sim._jit_run, sim.init(), imp)
+        emit(f"reference-workload {nx}x{ny} x{steps} (20/30 iters)", steps,
+             sec, nx * ny,
+             {"vs_ref_gpu_fps": round((steps / sec) / 108.0, 2)})
 
     # 2. 1024² single chip, 40 iters, 1000 steps
     n = 1024 // scale
@@ -119,7 +139,7 @@ def main():
     # single-device anchor point)
     if on_tpu:
         n = 8192
-        steps = 8
+        steps = 24  # long enough that the constant dispatch latency is noise
         cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
                                         backend="auto")
         sim = Simulation(cfg)

@@ -21,4 +21,5 @@ run vort8192     1500 python scripts/vort8192_probe.py
 run roll_share   1500 python scripts/roll_share_probe.py
 run smallgrid    1200 python scripts/smallgrid_probe.py
 run deepburst_ab 1500 python scripts/deepburst_ab.py
+run bench_suite  3000 python scripts/bench_suite.py
 echo "all done: logs in $LOG"
