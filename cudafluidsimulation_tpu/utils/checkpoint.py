@@ -41,6 +41,9 @@ def save_state(path: str, state: FluidState, rotate: bool = True) -> None:
     (the old one until the final ``os.replace``, the new one after).
     """
     dst = _norm(path)
+    parent = os.path.dirname(dst)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = dst + f".tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:

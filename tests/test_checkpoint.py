@@ -105,3 +105,17 @@ def test_extensionless_path_normalization(tmp_path):
     assert np.allclose(np.asarray(out.u), np.asarray(s.u))
     save_state(path, _state(seed=2))
     assert os.path.exists(str(tmp_path / "ck.prev.npz"))
+
+
+def test_save_creates_parent_directory(tmp_path):
+    """--checkpoint into a not-yet-existing directory must not crash at the
+    end of the run (found by driving the CLI: /tmp/new-dir/c.npz raised
+    FileNotFoundError from the atomic tmp-file open)."""
+    from cudafluidsimulation_tpu import FluidConfig, init_state
+    from cudafluidsimulation_tpu.utils.checkpoint import load_state, save_state
+
+    st = init_state(FluidConfig.gpu_reference(nx=64, ny=32))
+    dst = tmp_path / "deep" / "nested" / "c.npz"
+    save_state(str(dst), st)
+    out = load_state(str(dst))
+    assert out.u.shape == (32, 64)
