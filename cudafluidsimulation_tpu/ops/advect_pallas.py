@@ -60,6 +60,43 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tap_setup(dt, y0, x0, u, v, *, h_phys, w_phys, r, d, d_x, wt):
+    """Backtrace positions -> bilerp fractions and clipped tap offsets.
+
+    Departure points pos = (x, y) - dt*vel; corner via C-style truncation
+    (cpuFluidSim.cpp:110-155 semantics, incl. tx<0 extrapolation).  Taps
+    clamp to the PHYSICAL domain (pad cells beyond it are therefore never
+    selected by the offset masks and may hold arbitrary finite junk)."""
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 0) + y0
+    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 1) + x0
+
+    px = xs_i.astype(jnp.float32) - dt * u
+    py = ys_i.astype(jnp.float32) - dt * v
+    x1 = jnp.trunc(px)
+    y1 = jnp.trunc(py)
+    tx = px - x1
+    ty = py - y1
+
+    cx1 = jnp.clip(x1, 0, w_phys - 1).astype(jnp.int32)
+    cx2 = jnp.clip(x1 + 1.0, 0, w_phys - 1).astype(jnp.int32)
+    cy1 = jnp.clip(y1, 0, h_phys - 1).astype(jnp.int32)
+    cy2 = jnp.clip(y1 + 1.0, 0, h_phys - 1).astype(jnp.int32)
+
+    dy1 = jnp.clip(cy1 - ys_i, -d, d)
+    dy2 = jnp.clip(cy2 - ys_i, -d, d)
+    dx1 = jnp.clip(cx1 - xs_i, -d_x, d_x)
+    dx2 = jnp.clip(cx2 - xs_i, -d_x, d_x)
+    return tx, ty, dx1, dx2, dy1, dy2
+
+
+def _finish(acc, mode, decay_rate, dt):
+    decay = 1.0 / (1.0 + decay_rate * dt)
+    if mode == "dye":
+        # fmin: C fminf(1, NaN) -> 1.0 (see ops.ref.advect_dye)
+        return jnp.fmin(1.0, jnp.power(acc, 1.005) * decay)
+    return acc * decay
+
+
 def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
                  r, hd, d, d_x, c, wt):
     """The shared masked-shift-accumulation loop.
@@ -72,36 +109,14 @@ def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
     wext = ext.shape[2]
     wd = (wext - wt) // 2
 
-    ys_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 0) + y0
-    xs_i = jax.lax.broadcasted_iota(jnp.int32, (r, wt), 1) + x0
-    ys_f = ys_i.astype(jnp.float32)
-    xs_f = xs_i.astype(jnp.float32)
-
-    # departure points pos = (x, y) - dt*vel; corner via C-style truncation
-    # (cpuFluidSim.cpp:110-155 semantics, incl. tx<0 extrapolation)
-    px = xs_f - dt * u
-    py = ys_f - dt * v
-    x1 = jnp.trunc(px)
-    y1 = jnp.trunc(py)
-    tx = px - x1
-    ty = py - y1
-
-    # clamp taps to the PHYSICAL domain (pad cells beyond it are therefore
-    # never selected by the offset masks and may hold arbitrary finite junk)
-    cx1 = jnp.clip(x1, 0, w_phys - 1).astype(jnp.int32)
-    cx2 = jnp.clip(x1 + 1.0, 0, w_phys - 1).astype(jnp.int32)
-    cy1 = jnp.clip(y1, 0, h_phys - 1).astype(jnp.int32)
-    cy2 = jnp.clip(y1 + 1.0, 0, h_phys - 1).astype(jnp.int32)
-
-    dy1 = jnp.clip(cy1 - ys_i, -d, d)
-    dy2 = jnp.clip(cy2 - ys_i, -d, d)
+    tx, ty, dx1, dx2, dy1, dy2 = _tap_setup(
+        dt, y0, x0, u, v, h_phys=h_phys, w_phys=w_phys, r=r, d=d, d_x=d_x,
+        wt=wt)
     # Flat path (d_x = full width): x offsets are effectively unbounded —
     # the whole strip width lives in VMEM, so horizontal taps are exact for
     # arbitrary |vx|*dt (cx is domain-clamped, hence |dx| < w).  Column
     # tiles and x-sharded local views only hold d_x halo columns, so taps
     # clamp there (same semantics as the vertical bound).
-    dx1 = jnp.clip(cx1 - xs_i, -d_x, d_x)
-    dx2 = jnp.clip(cx2 - xs_i, -d_x, d_x)
 
     # per-strip active dy window (scalars); the loops below run EXACTLY the
     # realized windows — dynamic trip counts, dynamic roll shifts, no
@@ -152,23 +167,67 @@ def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
     acc = jax.lax.fori_loop(
         dylo, dyhi + 1, dy_body, jnp.zeros((c, r, wt), jnp.float32)
     )
+    return _finish(acc, mode, decay_rate, dt)
 
-    decay = 1.0 / (1.0 + decay_rate * dt)
-    if mode == "dye":
-        # fmin: C fminf(1, NaN) -> 1.0 (see ops.ref.advect_dye)
-        return jnp.fmin(1.0, jnp.power(acc, 1.005) * decay)
-    return acc * decay
+
+def _advect_core_static(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
+                        w_phys, r, hd, d, d_x, c, wt):
+    """±1-window fast path: computes the SAME tap set and weights as
+    :func:`_advect_core` whenever every tap offset of a physical cell lies
+    in [-1, 1] on both axes, which the dispatch predicate (realized max
+    |u|·dt and |v|·dt < 1, see :func:`_fast_path_ok`) guarantees; outputs
+    agree to ≤1 ulp (the two programs fuse multiply-adds differently).
+    Fully static — unrolled 3x3, slice-concat shifts, no in-kernel
+    reductions, no dynamic rolls — which removes the reduction→scalar
+    stall that dominates the dynamic-window core on quiet flows: 0.028 ms
+    vs 1.15 ms at 960x540/c=3 (the copy floor is 0.02;
+    scripts/advect_anatomy_probe.py, `static9` variant)."""
+    wext = ext.shape[2]
+    wd = (wext - wt) // 2
+    tx, ty, dx1, dx2, dy1, dy2 = _tap_setup(
+        dt, y0, x0, u, v, h_phys=h_phys, w_phys=w_phys, r=r, d=d, d_x=d_x,
+        wt=wt)
+
+    acc = jnp.zeros((c, r, wt), jnp.float32)
+    for dy in (-1, 0, 1):
+        wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+              + jnp.where(dy2 == dy, ty, 0.0))
+        # |dy| <= 1 <= hd: static row slice, never wraps
+        rows = ext[:, hd + dy:hd + dy + r, :]
+        for dx in (-1, 0, 1):
+            wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                  + jnp.where(dx2 == dx, tx, 0.0))
+            # align ext column (wd + dx) onto output column 0; on the flat
+            # path (wd = 0) the dx = -1 wrap column is masked out by wx
+            sh = (wd + dx) % wext
+            cols = (rows if sh == 0 else
+                    jnp.concatenate([rows[:, :, sh:], rows[:, :, :sh]],
+                                    axis=2))
+            acc = acc + (wx * wy)[None] * cols[:, :, :wt]
+    return _finish(acc, mode, decay_rate, dt)
+
+
+def _fast_path_ok(u, v, dt):
+    """True iff the realized backtrace displacement is strictly under one
+    cell on both axes — the exactness condition for the static ±1 core
+    (strict: |u·dt| < 1 keeps trunc-corner offsets in {-1, 0} / {0, 1}
+    including the tx<0 extrapolation region).  NaN velocities compare
+    False, routing blow-ups to the dynamic core (whose NaN semantics the
+    parity tests pin)."""
+    dt_f = jnp.asarray(dt, jnp.float32)
+    return ((jnp.max(jnp.abs(u)) * dt_f < 1.0)
+            & (jnp.max(jnp.abs(v)) * dt_f < 1.0))
 
 
 def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
                    *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, d_x,
-                   c):
+                   c, core=None):
     i = pl.program_id(1)
     # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
     # when a shard_map caller advects a halo-padded local view of a global
     # field); offsets dx/dy below stay local because translation cancels
     ext = jnp.concatenate([fl[:], fm[:], fh[:]], axis=1)  # (c, he, w)
-    out[...] = _advect_core(
+    out[...] = (core or _advect_core)(
         dt_ref[0, 0], i * r + y0_ref[0, 0], x0_ref[0, 0],
         u_ref[:], v_ref[:], ext,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
@@ -180,7 +239,7 @@ def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
                          f_mm, f_ml, f_mh, f_lm, f_ll, f_lh,
                          f_hm, f_hl, f_hh, out,
                          *, mode, decay_rate, h, h_phys, w_phys, r, hd, d,
-                         c, wt, wd):
+                         c, wt, wd, core=None):
     """Column-tiled program: the tap neighborhood arrives as a 3x3 halo
     block assembly (rows lo/mid/hi x cols lo/mid/hi of the same field
     array), so one launch covers the whole (channels, strips, tiles) grid
@@ -191,7 +250,7 @@ def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
     mid = jnp.concatenate([f_ml[:], f_mm[:], f_mh[:]], axis=2)
     bot = jnp.concatenate([f_hl[:], f_hm[:], f_hh[:]], axis=2)
     ext = jnp.concatenate([top, mid, bot], axis=1)  # (c, he, wt + 2*wd)
-    out[...] = _advect_core(
+    out[...] = (core or _advect_core)(
         dt_ref[0, 0], i * r + y0_ref[0, 0], t * wt + x0_ref[0, 0],
         u_ref[:], v_ref[:], ext,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
@@ -209,6 +268,13 @@ def _halo(d: int) -> int:
 # the margin covers Mosaic's own scratch).  Module global so the probe
 # scripts can sweep it — see scripts/advect_probe2.py and docs/ROADMAP.md.
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+# Runtime dual-path dispatch (lax.cond) to the static ±1-window core on
+# quiet steps.  Module global so probes/tests can pin one path; both
+# branches compile either way (the jaxpr carries two pallas_calls per
+# advect, and vmapped ensembles execute both sides of the select — the
+# static side is ~3% of the dynamic side's cost).
+_FAST_PATH = True
 
 
 def _footprint(r: int, w: int, c: int, hd: int, wt: int = 0) -> int:
@@ -397,20 +463,32 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
                       lambda ci, i: (ci, jnp.minimum((i + 1) * (r // hd), hblk - 1), 0),
                       memory_space=vm)
 
-    kern = functools.partial(
-        _advect_kernel, mode=mode, decay_rate=decay_rate,
-        h=hp, w=wp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
-        d_x=(d_x or wp - 1), c=cb,
-    )
     smem = pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-        grid=(c_grid, n_strips),
-        in_specs=[smem, smem, smem, plane, plane, mid, lo, hi],
-        out_specs=mid,
-        interpret=_interpret(),
-    )(dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in, fields_in, fields_in)
+
+    def launch(core):
+        kern = functools.partial(
+            _advect_kernel, mode=mode, decay_rate=decay_rate,
+            h=hp, w=wp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
+            d_x=(d_x or wp - 1), c=cb, core=core,
+        )
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            grid=(c_grid, n_strips),
+            in_specs=[smem, smem, smem, plane, plane, mid, lo, hi],
+            out_specs=mid,
+            interpret=_interpret(),
+        )
+        return lambda a: call(a[0], a[1], a[2], a[3], a[4], a[5], a[5], a[5])
+
+    args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
+    if _FAST_PATH:
+        # runtime dual path: quiet steps (realized displacement < 1 cell on
+        # both axes) take the static ±1 core, which runs at the DMA floor
+        out = jax.lax.cond(_fast_path_ok(u_in, v_in, dt),
+                           launch(_advect_core_static), launch(None), args)
+    else:
+        out = launch(None)(args)
     return out[:, :h, :w]
 
 
@@ -475,21 +553,30 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
     # cols; both the mid and the halo specs address the SAME (c, hp, wp)
     # array, just in different block units — pallas allows that because each
     # spec carries its own block shape.
-    kern = functools.partial(
-        _advect_kernel_tiled, mode=mode, decay_rate=decay_rate,
-        h=hp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
-        c=cb, wt=wt, wd=wd,
-    )
-    f = fields_in
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-        grid=(c_grid, n_strips, t_cnt),
-        in_specs=[smem, smem, smem, plane, plane,
-                  f_mm, f_ml, f_mh, f_lm, f_ll, f_lh, f_hm, f_hl, f_hh],
-        out_specs=out_spec,
-        interpret=_interpret(),
-    )(dt_arr, y0_arr, x0_arr, u_in, v_in, f, f, f, f, f, f, f, f, f)
+    def launch(core):
+        kern = functools.partial(
+            _advect_kernel_tiled, mode=mode, decay_rate=decay_rate,
+            h=hp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
+            c=cb, wt=wt, wd=wd, core=core,
+        )
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            grid=(c_grid, n_strips, t_cnt),
+            in_specs=[smem, smem, smem, plane, plane,
+                      f_mm, f_ml, f_mh, f_lm, f_ll, f_lh, f_hm, f_hl, f_hh],
+            out_specs=out_spec,
+            interpret=_interpret(),
+        )
+        return lambda a: call(a[0], a[1], a[2], a[3], a[4],
+                              *([a[5]] * 9))
+
+    args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
+    if _FAST_PATH:
+        out = jax.lax.cond(_fast_path_ok(u_in, v_in, dt),
+                           launch(_advect_core_static), launch(None), args)
+    else:
+        out = launch(None)(args)
     return out[:, :h, :w]
 
 

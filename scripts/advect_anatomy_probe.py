@@ -226,6 +226,39 @@ def variant_core(variant, dt, y0, x0, u, v, ext, *, h_phys, w_phys,
         return acc
 
     z = jnp.zeros((c, r, wt), jnp.float32)
+    if variant == "xpose":
+        # Transposed loop order: OUTER over x offsets (static single-lane
+        # advance rolls), INNER over each dx's realized dy chord (sublane
+        # rolls).  Motivation: roll_share_probe measured lane rolls ~3x the
+        # cost of sublane rolls at similar volume; this moves the O(area)
+        # roll count from lanes to sublanes at the price of rolling he rows
+        # instead of r in the inner loop.
+        gxlo = jnp.minimum(jnp.min(dx1), jnp.min(dx2))
+        gxhi = jnp.maximum(jnp.max(dx1), jnp.max(dx2))
+
+        def dx_outer(dx, carry):
+            acc, cur = carry
+            wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                  + jnp.where(dx2 == dx, tx, 0.0))
+            active = (dx1 == dx) | (dx2 == dx)
+            dylo_ = jnp.min(jnp.where(active, dy1, d))
+            dyhi_ = jnp.max(jnp.where(active, dy2, -d))
+            rcur0 = pltpu.roll(cur, jnp.mod(he - dylo_, he), axis=1)
+
+            def dy_inner(dy, c2):
+                acc, rr = c2
+                wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+                      + jnp.where(dy2 == dy, ty, 0.0))
+                acc = acc + (wx * wy)[None] * rr[:, hd:hd + r, :wt]
+                return acc, pltpu.roll(rr, he - 1, axis=1)
+
+            acc, _ = jax.lax.fori_loop(dylo_, dyhi_ + 1, dy_inner,
+                                       (acc, rcur0))
+            return acc, pltpu.roll(cur, wext - 1, axis=2)
+
+        cur0 = pltpu.roll(ext, jnp.mod(wext - wd - gxlo, wext), axis=2)
+        acc, _ = jax.lax.fori_loop(gxlo, gxhi + 1, dx_outer, (z, cur0))
+        return acc
     if variant == "zigzag":
         # Candidate production design: per-strip GLOBAL x window swept
         # boustrophedon, so the only dynamic rolls are the two initial
@@ -470,16 +503,19 @@ for regime, speed in (("quiet", 0.5), ("driven", float(D) * 0.7 / dt)):
             continue  # fixed windows are only meaningful when flow < 1 cell
         jax.clear_caches()
         fn, geo = make_advect(variant, C, ny, nx, D)
-        if variant in ("zigzag", "full"):
+        if variant in ("zigzag", "xpose", "full"):
             outs[variant] = jax.device_get(jax.jit(fn)(f, u, v, dt))
         ms = delta_time(fn, (f, u, v, dt))
         print(f"  {variant:6s}: {ms:7.3f} ms   (r={geo[0]}, hd={geo[1]}, "
               f"cb={geo[2]}, grid={geo[3]}x{geo[4]}, programs={geo[5]})",
               flush=True)
-    if len(outs) == 2:
+    if "full" in outs and len(outs) >= 2:
         import numpy as np
-        d_ = float(np.max(np.abs(outs["zigzag"] - outs["full"])))
-        print(f"  max|zigzag-full| = {d_:.3e}", flush=True)
+        for k in outs:
+            if k == "full":
+                continue
+            d_ = float(np.max(np.abs(outs[k] - outs["full"])))
+            print(f"  max|{k}-full| = {d_:.3e}", flush=True)
     # library call for cross-check
     jax.clear_caches()
     lib = functools.partial(ap.advect, decay_rate=0.1, mode="dye", d=D)

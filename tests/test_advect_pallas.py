@@ -232,6 +232,118 @@ def test_tiled_full_dispatch_equivalence(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(flat), atol=2e-6)
 
 
+# -- quiet-flow static fast path ----------------------------------------------
+
+
+def _with_dynamic_core(fn, *args, **kw):
+    """Run ``fn`` with the lax.cond fast path disabled (dynamic core only)."""
+    import jax
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    ap._FAST_PATH = False
+    jax.clear_caches()
+    try:
+        return np.asarray(fn(*args, **kw))
+    finally:
+        ap._FAST_PATH = True
+        jax.clear_caches()
+
+
+def test_fast_path_predicate_boundary():
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    z = jnp.zeros((8, 128), jnp.float32)
+
+    def pred(umax, vmax, dt=0.25):
+        u = z.at[3, 40].set(umax)
+        v = z.at[5, 80].set(vmax)
+        return bool(ap._fast_path_ok(u, v, dt))
+
+    assert pred(3.9, 3.9)           # |disp| = 0.975 < 1
+    assert not pred(4.0, 0.0)       # |disp| = 1.0 exactly: strict
+    assert not pred(0.0, -4.2)      # vertical alone disqualifies
+    assert not pred(np.nan, 0.0)    # NaN routes to the dynamic core
+
+
+@pytest.mark.parametrize("shape,mode", [((64, 128), "dye"), ((64, 128), "field"),
+                                        ((100, 200), "dye")])
+def test_quiet_flow_fast_path_matches_dynamic_and_ref(rng, shape, mode):
+    """Sub-cell flow engages the static ±1 core (lax.cond true branch); the
+    output must match BOTH the dynamic core (same taps/weights, ≤ a few ulp
+    of multiply-add fusion reassociation) and the exact ref op."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    h, w = shape
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    u = u / jnp.max(jnp.abs(u)) * (0.9 / DT)  # realized |u|dt = 0.9 < 1
+    v = v / jnp.max(jnp.abs(v)) * (0.9 / DT)
+    assert bool(ap._fast_path_ok(u, v, DT))
+    f = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    fast = np.asarray(ap.advect(f, u, v, DT, 1.2, mode))
+    if mode == "dye":
+        # vs ref: masked-sum accumulation order differs from the nested lerp
+        exp = ref.advect_dye(f, u, v, DT, 1.2)
+        np.testing.assert_allclose(fast, np.asarray(exp), atol=1e-4)
+    slow = _with_dynamic_core(ap.advect, f, u, v, DT, 1.2, mode)
+    np.testing.assert_allclose(fast, slow, atol=1e-6)
+
+
+def test_fast_path_velocity_matches_ref(rng):
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    u = u / jnp.max(jnp.abs(u)) * (0.95 / DT)
+    v = v / jnp.max(jnp.abs(v)) * (0.95 / DT)
+    assert bool(ap._fast_path_ok(u, v, DT))
+    eu, ev = ref.advect_velocity(u, v, DT, 1.2)
+    gu, gv = ap.advect_velocity(u, v, DT, 1.2)
+    # taps are O(1/DT): accumulation-order noise scales with them
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(eu), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ev), atol=1e-3)
+
+
+def test_quiet_tiled_fast_path_matches_ref(rng):
+    """The column-tiled launch carries the same dual path."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    h, w, d = 64, 512, 15
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    u = u / jnp.max(jnp.abs(u)) * (0.9 / DT)
+    v = v / jnp.max(jnp.abs(v)) * (0.9 / DT)
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    exp = ref.advect_dye(dye, u, v, DT, 1.2)
+    got = _tiled(dye, u, v, DT, 1.2, "dye", d, plan=(128, 128, 4, 32, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+
+def test_fast_path_crossing_threshold_in_scan(rng):
+    """A scanned rollout whose velocity crosses the sub-cell threshold must
+    dispatch per step (cond, not trace-time) and stay correct on both sides."""
+    import jax
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    f = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    base_u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    base_u = base_u / jnp.max(jnp.abs(base_u))
+    v = jnp.zeros((H, W), jnp.float32)
+
+    @jax.jit
+    def roll(f, scales):
+        def body(c, s):
+            return ap.advect(c, base_u * s, v, DT, 1.2, "dye"), None
+        return jax.lax.scan(body, f, scales)[0]
+
+    scales = jnp.asarray([0.5 / DT, 2.5 / DT, 0.7 / DT], jnp.float32)
+    got = roll(f, scales)
+    exp = f
+    for s in np.asarray(scales):
+        exp = ref.advect_dye(exp, base_u * float(s), v, DT, 1.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
 def test_tile_plan_rescues_flat_unviable_geometry():
     """8192²-class width at d=31: no flat geometry fits VMEM even at
     c_block=1, but column tiling serves it — supported() must say yes and
