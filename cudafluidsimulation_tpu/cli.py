@@ -139,6 +139,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _save_fields(path: str, state) -> None:
+    """--save-fields writer; creates the parent directory like the
+    checkpoint writer does (utils.checkpoint.save_state)."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    np.savez_compressed(
+        path,
+        u=np.asarray(state.u), v=np.asarray(state.v),
+        dye=np.asarray(state.dye), pressure=np.asarray(state.pressure),
+    )
+
+
 def _clamp_warning(cfg, state, mesh: str):
     """Warning string when the run's final state shows realized advection
     displacement beyond ``max_displacement`` on an execution path that
@@ -157,10 +170,14 @@ def _clamp_warning(cfg, state, mesh: str):
             axes = "xy"
     if not axes:
         return None
-    finite, speed, dye, au, av = health._health_stats(state)
-    if not bool(finite):
+    # the producer-emitted bound of the final state's velocity — an 8-byte
+    # host transfer instead of two full-field reductions
+    au, av = (float(x) for x in state.vel_stats)
+    import math
+
+    if not (math.isfinite(au) and math.isfinite(av)):
         return None  # blow-up reporting is the health check's job
-    h = health.Health(True, float(speed), float(dye), float(au), float(av))
+    h = health.Health(True, 0.0, 0.0, au, av)
     return health.displacement_check(h, cfg.dt, cfg.max_displacement, axes)
 
 
@@ -416,11 +433,7 @@ def main(argv=None) -> int:
             print(f"recorded {app.frames}-frame {avi.codec.upper()} AVI of "
                   f"the session to {args.video}")
         if args.save_fields:
-            np.savez_compressed(
-                args.save_fields,
-                u=np.asarray(state.u), v=np.asarray(state.v),
-                dye=np.asarray(state.dye), pressure=np.asarray(state.pressure),
-            )
+            _save_fields(args.save_fields, state)
             print(f"saved fields to {args.save_fields}")
         if args.checkpoint:
             save_state(args.checkpoint, state)
@@ -588,11 +601,7 @@ def main(argv=None) -> int:
               "(ffmpeg -i ... out.mp4 to transcode)")
 
     if args.save_fields:
-        np.savez_compressed(
-            args.save_fields,
-            u=np.asarray(state.u), v=np.asarray(state.v),
-            dye=np.asarray(state.dye), pressure=np.asarray(state.pressure),
-        )
+        _save_fields(args.save_fields, state)
         print(f"saved fields to {args.save_fields}")
 
     if args.checkpoint:

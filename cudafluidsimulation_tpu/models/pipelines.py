@@ -43,12 +43,22 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         #    may provide the optional fused ``advect_both`` (the sharded
         #    paths do: one halo exchange carries velocity AND dye, since
         #    both advections tap pre-advection data).
+        #    state.vel_stats is the producer-emitted [max|u|, max|v|] bound
+        #    of (u, v) from the previous step's projection; the velocity
+        #    advection's output bound feeds the dye advection — so both
+        #    fast-path dispatch predicates are scalar compares, never
+        #    full-array reductions (ops.ref.vel_max contract).
         advect_both = getattr(ops, "advect_both", None)
         if advect_both is not None:
-            u, v, dye = advect_both(u, v, dye, dt, config.decay_rate)
+            u, v, dye, vstats = advect_both(u, v, dye, dt, config.decay_rate,
+                                            vel_stats=state.vel_stats,
+                                            return_stats=True)
         else:
-            u, v = ops.advect_velocity(u, v, dt, config.decay_rate)
-            dye = ops.advect_dye(dye, u, v, dt, config.decay_rate)
+            u, v, vstats = ops.advect_velocity(u, v, dt, config.decay_rate,
+                                               vel_stats=state.vel_stats,
+                                               return_stats=True)
+            dye = ops.advect_dye(dye, u, v, dt, config.decay_rate,
+                                 vel_stats=vstats)
 
         # -- vorticity confinement
         if cpu_variant:
@@ -123,21 +133,24 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
                 config.splat_radius, color_eff
             )
 
-        # -- pressure projection
+        # -- pressure projection (the step's final velocity producer: its
+        #    kernels emit next step's vel_stats bound for free)
         if config.pressure_solver == "multigrid":
             div = ops.divergence(u, v, config.half_divergence)
             p = ops.pressure_solve_mg(div, config.mg_cycles,
                                       tol=config.mg_tol,
                                       max_cycles=config.mg_max_cycles)
-            u, v = ops.project(u, v, p)
+            u, v, vel_stats = ops.project(u, v, p, return_stats=True)
         else:
             # single fused op (divergence folded into the first pressure
             # burst, projection into the last on the pallas backend)
-            u, v, p = ops.pressure_project(
-                u, v, config.pressure_iters, config.half_divergence
+            u, v, p, vel_stats = ops.pressure_project(
+                u, v, config.pressure_iters, config.half_divergence,
+                return_stats=True,
             )
 
-        # -- boundary strip (cpu path only)
+        # -- boundary strip (cpu path only; zeroing rows can only shrink
+        #    the max, so vel_stats stays a valid upper bound)
         if config.boundary_rows > 0:
             u, v, dye = ops.boundary_strip(u, v, dye, config.boundary_rows)
 
@@ -151,6 +164,7 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
             time_since_press=jnp.where(pressed, 0.0, state.time_since_press + dt),
             mouse=jnp.where(pressed, cur, state.mouse),
             step=state.step + 1,
+            vel_stats=vel_stats,
         )
 
     return step

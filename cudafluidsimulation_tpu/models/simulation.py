@@ -84,14 +84,20 @@ class Simulation:
         ``(final_state, (max|u|*dt, max|v|*dt))`` where the maxima run over
         EVERY step of the scan (not just the final state) — the quantity the
         pallas/sharded advection bound ``max_displacement`` clamps, measured
-        on the velocity each backtrace actually sampled (pre-advection)."""
+        on the velocity each backtrace actually sampled (pre-advection).
+
+        Tracking is free: each step's ``state.vel_stats`` is the
+        producer-emitted bound of exactly that pre-advection velocity
+        (emitted from VMEM-resident blocks, see state.FluidState), so the
+        scan adds two scalar max ops per step, no field reductions.  The
+        bound can slightly over-report on padded geometries (never under-)."""
 
         @functools.partial(jax.jit)
         def run(state, impulses):
             def body(carry, imp):
                 s, mu, mv = carry
-                mu = jnp.maximum(mu, jnp.max(jnp.abs(s.u)) * imp.dt)
-                mv = jnp.maximum(mv, jnp.max(jnp.abs(s.v)) * imp.dt)
+                mu = jnp.maximum(mu, s.vel_stats[0] * imp.dt)
+                mv = jnp.maximum(mv, s.vel_stats[1] * imp.dt)
                 return (self.step_fn(s, imp), mu, mv), None
 
             (final, mu, mv), _ = jax.lax.scan(

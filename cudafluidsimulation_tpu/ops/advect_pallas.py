@@ -207,21 +207,43 @@ def _advect_core_static(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
     return _finish(acc, mode, decay_rate, dt)
 
 
-def _fast_path_ok(u, v, dt):
+def _fast_path_ok(u, v, dt, vel_stats=None):
     """True iff the realized backtrace displacement is strictly under one
     cell on both axes — the exactness condition for the static ±1 core
     (strict: |u·dt| < 1 keeps trunc-corner offsets in {-1, 0} / {0, 1}
     including the tx<0 extrapolation region).  NaN velocities compare
     False, routing blow-ups to the dynamic core (whose NaN semantics the
-    parity tests pin)."""
+    parity tests pin).
+
+    ``vel_stats``: optional producer-emitted (2,) [max|u|, max|v|] UPPER
+    BOUND of the passed velocity (ops.ref.vel_max contract) — then the
+    predicate is two scalar compares instead of two full-array HBM
+    reductions (the reductions measured +1.8 ms/step at 8192², the only
+    driven-flow cost of the dual dispatch).  A too-large bound merely
+    denies the fast path; it can never wrongly grant it."""
     dt_f = jnp.asarray(dt, jnp.float32)
+    if vel_stats is not None:
+        return (vel_stats[0] * dt_f < 1.0) & (vel_stats[1] * dt_f < 1.0)
     return ((jnp.max(jnp.abs(u)) * dt_f < 1.0)
             & (jnp.max(jnp.abs(v)) * dt_f < 1.0))
 
 
+def _emit_stats(st, val, ci, *rest, cb):
+    """Per-channel max|val| -> this program's slots of the WHOLE-ARRAY SMEM
+    stats ref (Mosaic requires SMEM output blocks to equal the array shape,
+    so the stats buffer is shared across the sequential grid with a constant
+    index map; program (ci, i[, t]) writes rows ci*cb+j, column i[, t] —
+    every slot written by exactly one program).  One reduction per PROGRAM
+    over the already-resident output block (a VPU pass, no HBM traffic) —
+    unlike the per-loop-iteration window reductions the static core exists
+    to avoid, a single end-of-program scalar store is cheap."""
+    for j in range(val.shape[0]):
+        st[(ci * cb + j,) + rest] = jnp.max(jnp.abs(val[j]))
+
+
 def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
-                   *, mode, decay_rate, h, w, h_phys, w_phys, r, hd, d, d_x,
-                   c, core=None):
+                   *maybe_st, mode, decay_rate, h, w, h_phys, w_phys, r, hd,
+                   d, d_x, c, core=None):
     i = pl.program_id(1)
     # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
     # when a shard_map caller advects a halo-padded local view of a global
@@ -233,12 +255,14 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
         r=r, hd=hd, d=d, d_x=d_x, c=c, wt=w,
     )
+    if maybe_st:
+        _emit_stats(maybe_st[0], out[...], pl.program_id(0), i, cb=c)
 
 
 def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
                          f_mm, f_ml, f_mh, f_lm, f_ll, f_lh,
-                         f_hm, f_hl, f_hh, out,
-                         *, mode, decay_rate, h, h_phys, w_phys, r, hd, d,
+                         f_hm, f_hl, f_hh, out, *maybe_st,
+                         mode, decay_rate, h, h_phys, w_phys, r, hd, d,
                          c, wt, wd, core=None):
     """Column-tiled program: the tap neighborhood arrives as a 3x3 halo
     block assembly (rows lo/mid/hi x cols lo/mid/hi of the same field
@@ -256,6 +280,8 @@ def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
         r=r, hd=hd, d=d, d_x=d, c=c, wt=wt,
     )
+    if maybe_st:
+        _emit_stats(maybe_st[0], out[...], pl.program_id(0), i, t, cb=c)
 
 
 def _halo(d: int) -> int:
@@ -408,11 +434,12 @@ def uses_column_tiling(h: int, w: int, c: int, d: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d",
-                                             "h_phys", "w_phys", "d_x"))
+                                             "h_phys", "w_phys", "d_x",
+                                             "return_stats"))
 def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
            decay_rate: float, mode: str = "field", d: int = 15,
            y0=0, h_phys: int = 0, x0=0, w_phys: int = 0,
-           d_x: int = 0) -> jnp.ndarray:
+           d_x: int = 0, vel_stats=None, return_stats: bool = False):
     """Advect (C, H, W) ``fields`` through velocity (u, v) with the
     reference's decay semantics.  mode "dye" applies the
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290).
@@ -423,18 +450,30 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     domain".  ``d_x`` bounds horizontal tap offsets (x-sharded local views
     pass their exchanged halo depth); 0 means unbounded (full strip width
     is resident) — except on wide grids where the column-tiled path engages
-    (see module docstring) and bounds horizontal taps at d."""
+    (see module docstring) and bounds horizontal taps at d.
+
+    ``vel_stats``: optional (2,) producer-emitted [max|u|, max|v|] bound of
+    the passed velocity (ops.ref.vel_max contract) — makes the fast-path
+    dispatch predicate two scalar compares (see :func:`_fast_path_ok`).
+    ``return_stats``: also return the same bound ABOUT THE OUTPUT (mode
+    "field" advects the velocity itself), emitted per-program from blocks
+    already resident in VMEM, so the next consumer's predicate costs no
+    HBM reads; pad rows/cols are included, which can only over-estimate
+    (pad outputs are convex blends of physical values)."""
     c, h, w = fields.shape
     plan = _tile_plan(h, w, c, d) if d_x == 0 else None
     if plan is not None:
         return _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
-                             y0, h_phys or h, x0, w_phys or w, plan)
+                             y0, h_phys or h, x0, w_phys or w, plan,
+                             vel_stats, return_stats)
     return _advect_flat(fields, u, v, dt, decay_rate, mode, d, y0,
-                        h_phys or h, x0, w_phys or w, d_x)
+                        h_phys or h, x0, w_phys or w, d_x,
+                        vel_stats, return_stats)
 
 
 def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
-                 y0, h_phys, x0, w_phys, d_x):
+                 y0, h_phys, x0, w_phys, d_x, vel_stats=None,
+                 return_stats=False):
     c, h, w = fields.shape
     hd = _halo(d)
     hp, wp, r, cb = _pad_geometry(h, w, c, hd)
@@ -465,18 +504,27 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
 
     smem = pl.BlockSpec((1, 1), lambda ci, i: (0, 0), memory_space=pltpu.SMEM)
 
+    # whole-array SMEM block, constant index map (see _emit_stats)
+    st_spec = pl.BlockSpec((c, n_strips), lambda ci, i: (0, 0),
+                           memory_space=pltpu.SMEM)
+
     def launch(core):
         kern = functools.partial(
             _advect_kernel, mode=mode, decay_rate=decay_rate,
             h=hp, w=wp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
             d_x=(d_x or wp - 1), c=cb, core=core,
         )
+        shapes = [jax.ShapeDtypeStruct((c, hp, wp), jnp.float32)]
+        specs = [mid]
+        if return_stats:
+            shapes.append(jax.ShapeDtypeStruct((c, n_strips), jnp.float32))
+            specs.append(st_spec)
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            out_shape=shapes,
             grid=(c_grid, n_strips),
             in_specs=[smem, smem, smem, plane, plane, mid, lo, hi],
-            out_specs=mid,
+            out_specs=specs,
             interpret=_interpret(),
         )
         return lambda a: call(a[0], a[1], a[2], a[3], a[4], a[5], a[5], a[5])
@@ -485,15 +533,19 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
     if _FAST_PATH:
         # runtime dual path: quiet steps (realized displacement < 1 cell on
         # both axes) take the static ±1 core, which runs at the DMA floor
-        out = jax.lax.cond(_fast_path_ok(u_in, v_in, dt),
+        res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
                            launch(_advect_core_static), launch(None), args)
     else:
-        out = launch(None)(args)
-    return out[:, :h, :w]
+        res = launch(None)(args)
+    if return_stats:
+        out, st = res
+        return out[:, :h, :w], jnp.max(st, axis=1)
+    return res[0][:, :h, :w]
 
 
 def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
-                  y0, h_phys, x0, w_phys, plan):
+                  y0, h_phys, x0, w_phys, plan, vel_stats=None,
+                  return_stats=False):
     """One (channels, strips, tiles) launch over 3x3 halo-block inputs."""
     c, h, w = fields.shape
     hd = _halo(d)
@@ -553,19 +605,29 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
     # cols; both the mid and the halo specs address the SAME (c, hp, wp)
     # array, just in different block units — pallas allows that because each
     # spec carries its own block shape.
+    # whole-array SMEM block, constant index map (see _emit_stats)
+    st_spec = pl.BlockSpec((c, n_strips, t_cnt), lambda ci, i, t: (0, 0, 0),
+                           memory_space=pltpu.SMEM)
+
     def launch(core):
         kern = functools.partial(
             _advect_kernel_tiled, mode=mode, decay_rate=decay_rate,
             h=hp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
             c=cb, wt=wt, wd=wd, core=core,
         )
+        shapes = [jax.ShapeDtypeStruct((c, hp, wp), jnp.float32)]
+        specs = [out_spec]
+        if return_stats:
+            shapes.append(
+                jax.ShapeDtypeStruct((c, n_strips, t_cnt), jnp.float32))
+            specs.append(st_spec)
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            out_shape=shapes,
             grid=(c_grid, n_strips, t_cnt),
             in_specs=[smem, smem, smem, plane, plane,
                       f_mm, f_ml, f_mh, f_lm, f_ll, f_lh, f_hm, f_hl, f_hh],
-            out_specs=out_spec,
+            out_specs=specs,
             interpret=_interpret(),
         )
         return lambda a: call(a[0], a[1], a[2], a[3], a[4],
@@ -573,21 +635,34 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
 
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
     if _FAST_PATH:
-        out = jax.lax.cond(_fast_path_ok(u_in, v_in, dt),
+        res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
                            launch(_advect_core_static), launch(None), args)
     else:
-        out = launch(None)(args)
-    return out[:, :h, :w]
+        res = launch(None)(args)
+    if return_stats:
+        out, st = res
+        return out[:, :h, :w], jnp.max(st.reshape(c, -1), axis=1)
+    return res[0][:, :h, :w]
 
 
-def advect_velocity(u, v, dt, decay_rate, d: int = 15):
+def advect_velocity(u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
+                    return_stats: bool = False):
     """Self-advection (GPUFluidSim.cu:258-272 semantics, clean double-buffer
-    reads like the CPU path)."""
-    uv = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate), "field", d)
+    reads like the CPU path).  ``vel_stats``/``return_stats``: the
+    producer-emitted velocity-bound contract (ops.ref.vel_max) — the
+    channels of mode "field" ARE (u, v), so the emitted output stats are
+    exactly [max|u'|, max|v'|]."""
+    if return_stats:
+        uv, st = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate),
+                        "field", d, vel_stats=vel_stats, return_stats=True)
+        return uv[0], uv[1], st
+    uv = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate), "field", d,
+                vel_stats=vel_stats)
     return uv[0], uv[1]
 
 
-def advect_dye(dye, u, v, dt, decay_rate, d: int = 15):
+def advect_dye(dye, u, v, dt, decay_rate, d: int = 15, *, vel_stats=None):
     """Dye advection + fade (GPUFluidSim.cu:275-294); callers pass the
     already-advected velocity, matching both reference step orders."""
-    return advect(dye, u, v, dt, float(decay_rate), "dye", d)
+    return advect(dye, u, v, dt, float(decay_rate), "dye", d,
+                  vel_stats=vel_stats)

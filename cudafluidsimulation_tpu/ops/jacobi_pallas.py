@@ -283,8 +283,8 @@ def _first_pressure_kernel_tiled(u_mm, u_ml, u_mr, u_tm, u_tl, u_tr, u_bm,
 def _last_pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm,
                                 p_bl, p_br, d_mm, d_ml, d_mr, d_tm, d_tl,
                                 d_tr, d_bm, d_bl, d_br, u_mid, v_mid,
-                                p_out, u_out, v_out,
-                                *, k, hd, n_strips, t_cnt, wd):
+                                p_out, u_out, v_out, *maybe_st,
+                                k, hd, n_strips, t_cnt, wd):
     """Tiled final burst fused with projection: k sweeps, then subtract the
     pressure gradient from the core-resident velocity.  The gradient's
     clamped x taps come straight from the ext (mirror == clamp at distance
@@ -313,13 +313,18 @@ def _last_pressure_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm,
                      pe[hd + rr : hd + rr + 1, wd:-wd])
     pb_ = jnp.concatenate([pb_h, ps[:-1]], axis=0)
     pt_ = jnp.concatenate([ps[1:], pt_h], axis=0)
+    u2 = u_mid[0] - 0.5 * (pr_ - pl_)
+    v2 = v_mid[0] - 0.5 * (pt_ - pb_)
     p_out[0] = ps
-    u_out[0] = u_mid[0] - 0.5 * (pr_ - pl_)
-    v_out[0] = v_mid[0] - 0.5 * (pt_ - pb_)
+    u_out[0] = u2
+    v_out[0] = v2
+    if maybe_st:
+        _emit_vel_stats(maybe_st[0], u2, v2, i, ti)
 
 
 def _pressure_project_tiled(u3, v3, ks, h: int, w: int, half: bool,
-                            block_rows: int, burst: int):
+                            block_rows: int, burst: int,
+                            return_stats: bool = False):
     """Wide-grid pressure_project with divergence fused into the first
     TILED burst and projection into the last (exact unpadded geometries,
     len(ks) >= 2; caller checked _fused_tiled_plans).  Replaces the
@@ -356,15 +361,25 @@ def _pressure_project_tiled(u3, v3, ks, h: int, w: int, half: bool,
              halo["tr"], unpad["bm"], halo["bl"], halo["br"]]
     kern = functools.partial(_last_pressure_kernel_tiled, k=kl, hd=hdl,
                              n_strips=h // r, t_cnt=t_cnt, wd=wd)
-    p2, u2, v2 = pl.pallas_call(
+    shapes = [jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3
+    out_specs = [out, out, out]
+    if return_stats:
+        shapes.append(
+            jax.ShapeDtypeStruct((2, h // r, t_cnt), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((2, h // r, t_cnt), lambda c, i, t: (0, 0, 0),
+                         memory_space=pltpu.SMEM))
+    res = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+        out_shape=shapes,
         grid=(1, h // r, t_cnt),
         in_specs=specs + specs + [unpad["mm"], unpad["mm"]],
-        out_specs=[out, out, out],
+        out_specs=out_specs,
         interpret=_interpret(),
     )(*([p] * 9), *([d] * 9), u3, v3)
-    return u2[0], v2[0], p2[0]
+    if return_stats:
+        return res[1][0], res[2][0], res[0][0], _vel_stats_reduce(res[3])
+    return res[1][0], res[2][0], res[0][0]
 
 
 def _fused_tiled_plans(h: int, w: int, ks, block_rows: int):
@@ -739,6 +754,20 @@ def _first_pressure_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi, p_out, d_out,
     d_out[0] = de[hd:-hd, :]
 
 
+def _emit_vel_stats(st, u2, v2, *idx):
+    """[max|u2|, max|v2|] of this program's output blocks -> slots (*, idx)
+    of the WHOLE-ARRAY SMEM stats ref (the ops.ref.vel_max contract; Mosaic
+    requires SMEM output blocks to equal the array shape, so the buffer is
+    shared across the sequential grid with a constant index map and each
+    program writes its own column).  The blocks are already resident in
+    VMEM, so this costs one VPU reduction pass and two scalar stores — no
+    HBM traffic; the caller max-reduces the tiny per-program array.
+    Consumers use it as the advection fast-path predicate and for always-on
+    clamp observability."""
+    st[(0,) + idx] = jnp.max(jnp.abs(u2))
+    st[(1,) + idx] = jnp.max(jnp.abs(v2))
+
+
 def _project_rows(pe, u_mid, v_mid, hd: int):
     """u -= 0.5*(pR-pL), v -= 0.5*(pT-pB) on the strip rows of an extended
     pressure plane (ref: GPUFluidSim.cu:498-516; y-clamp at physical edges is
@@ -752,7 +781,7 @@ def _project_rows(pe, u_mid, v_mid, hd: int):
 
 
 def _last_pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, u_mid, v_mid,
-                          p_out, u_out, v_out, *, k, hd, n_strips):
+                          p_out, u_out, v_out, *maybe_st, k, hd, n_strips):
     """Final burst fused with projection: k sweeps, then subtract the
     pressure gradient from the (strip-rows-only) velocity.  Project reads p
     at +/-1 row, so k <= hd-1 keeps it exact."""
@@ -768,10 +797,13 @@ def _last_pressure_kernel(p_mid, p_lo, p_hi, d_mid, d_lo, d_hi, u_mid, v_mid,
     p_out[0] = ps
     u_out[0] = u2
     v_out[0] = v2
+    if maybe_st:
+        _emit_vel_stats(maybe_st[0], u2, v2, i)
 
 
 def _single_pressure_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
-                            p_out, u_out, v_out, *, k, hd, n_strips, half):
+                            p_out, u_out, v_out, *maybe_st,
+                            k, hd, n_strips, half):
     """iters <= burst: divergence + all sweeps + project in ONE kernel."""
     i = pl.program_id(1)
     ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
@@ -788,6 +820,8 @@ def _single_pressure_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
     p_out[0] = ps
     u_out[0] = u2
     v_out[0] = v2
+    if maybe_st:
+        _emit_vel_stats(maybe_st[0], u2, v2, i)
 
 
 def _fused_geometry(h: int, w: int, k: int, requested: int):
@@ -819,17 +853,26 @@ def fusable(h: int, w: int, iters: int, block_rows: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "half", "block_rows",
-                                             "burst"))
+                                             "burst", "return_stats"))
 def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
-                     *, block_rows: int = 256, burst: int = 8):
+                     *, block_rows: int = 256, burst: int = 8,
+                     return_stats: bool = False):
     """Fused divergence -> ``iters``-sweep Jacobi from p=0 -> gradient
     subtraction.  Returns (u', v', p); bit-identical to the unfused
     divergence/pressure_solve/project composition (ref semantics:
     cpuFluidSim.cpp:236-258,374-377 / GPUFluidSim.cu:676-685).
-    Caller must check :func:`fusable` first."""
+    Caller must check :func:`fusable` first.
+
+    ``return_stats``: additionally return ops.ref.vel_max of the projected
+    velocity, emitted from the final kernel's VMEM-resident blocks — the
+    free producer side of the advection fast-path predicate."""
     h, w = u.shape
     if iters == 0:
-        return u, v, jnp.zeros_like(u)
+        p0 = jnp.zeros_like(u)
+        if return_stats:
+            return u, v, p0, jnp.stack([jnp.max(jnp.abs(u)),
+                                        jnp.max(jnp.abs(v))])
+        return u, v, p0
 
     # Wide grids run the bursts through the column-tiled solver.  When the
     # geometry is exact, divergence folds into the first TILED burst and
@@ -846,10 +889,15 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
             left -= ks[-1]
         if _fused_tiled_plans(h, w, ks, block_rows) is not None:
             return _pressure_project_tiled(u[None], v[None], ks, h, w,
-                                           half, block_rows, burst)
+                                           half, block_rows, burst,
+                                           return_stats)
         if divergence_supported(h, w):
             d = divergence(u, v, half, block_rows=block_rows)
             p = pressure_solve(d, iters, block_rows=block_rows, burst=burst)
+            if return_stats:
+                u2, v2, st = project(u, v, p, block_rows=block_rows,
+                                     return_stats=True)
+                return u2, v2, p, st
             u2, v2 = project(u, v, p, block_rows=block_rows)
             return u2, v2, p
 
@@ -874,21 +922,38 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
                 f"pressure_project: no viable fused geometry for "
                 f"{h}x{w} burst k={k} (check fusable() first)")
 
+    def outs(out, n_strips):
+        shapes = [jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3
+        specs_ = [out, out, out]
+        if return_stats:
+            st_shape, st_spec = _vel_stats_spec(n_strips)
+            shapes.append(st_shape)
+            specs_.append(st_spec)
+        return shapes, specs_
+
+    def unpack(res):
+        # res = (p, u2, v2[, st])
+        if return_stats:
+            return (res[1][0], res[2][0], res[0][0],
+                    _vel_stats_reduce(res[3]))
+        return res[1][0], res[2][0], res[0][0]
+
     if len(ks) == 1:
         k = ks[0]
         r, hd = _fused_geometry(h, w, k, block_rows)
         mid, lo, hi, out, n_strips = specs(r, hd)
         kern = functools.partial(_single_pressure_kernel, k=k, hd=hd,
                                  n_strips=n_strips, half=half)
-        p, u2, v2 = pl.pallas_call(
+        shapes, out_specs = outs(out, n_strips)
+        res = pl.pallas_call(
             kern,
-            out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+            out_shape=shapes,
             grid=(1, n_strips),
             in_specs=[mid, lo, hi, mid, lo, hi],
-            out_specs=[out, out, out],
+            out_specs=out_specs,
             interpret=_interpret(),
         )(u3, u3, u3, v3, v3, v3)
-        return u2[0], v2[0], p[0]
+        return unpack(res)
 
     # burst 1: divergence fused
     k = ks[0]
@@ -917,15 +982,16 @@ def pressure_project(u: jnp.ndarray, v: jnp.ndarray, iters: int, half: bool,
     mid, lo, hi, out, n_strips = specs(r, hd)
     kern = functools.partial(_last_pressure_kernel, k=k, hd=hd,
                              n_strips=n_strips)
-    p2, u2, v2 = pl.pallas_call(
+    shapes, out_specs = outs(out, n_strips)
+    res = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+        out_shape=shapes,
         grid=(1, n_strips),
         in_specs=[mid, lo, hi, mid, lo, hi, mid, mid],
-        out_specs=[out, out, out],
+        out_specs=out_specs,
         interpret=_interpret(),
     )(p, p, p, d, d, d, u3, v3)
-    return u2[0], v2[0], p2[0]
+    return unpack(res)
 
 
 # ---------------------------------------------------------------------------
@@ -1096,7 +1162,7 @@ def _divergence_kernel(u_mid, v_mid, v_lo, v_hi, out, *, n_strips, half):
 
 
 def _project_kernel(p_mid, p_lo, p_hi, u_mid, v_mid, u_out, v_out,
-                    *, n_strips):
+                    *maybe_st, n_strips):
     i = pl.program_id(1)
     pm = p_mid[0]
     plo, phi = _edge_rows(pm, p_lo[0], p_hi[0], i == 0, i == n_strips - 1, 1)
@@ -1104,8 +1170,12 @@ def _project_kernel(p_mid, p_lo, p_hi, u_mid, v_mid, u_out, v_out,
     pr_ = jnp.concatenate([pm[:, 1:], pm[:, -1:]], axis=1)
     pb = jnp.concatenate([plo, pm[:-1]], axis=0)
     pt = jnp.concatenate([pm[1:], phi], axis=0)
-    u_out[0] = u_mid[0] - 0.5 * (pr_ - pl_)
-    v_out[0] = v_mid[0] - 0.5 * (pt - pb)
+    u2 = u_mid[0] - 0.5 * (pr_ - pl_)
+    v2 = v_mid[0] - 0.5 * (pt - pb)
+    u_out[0] = u2
+    v_out[0] = v2
+    if maybe_st:
+        _emit_vel_stats(maybe_st[0], u2, v2, i)
 
 
 def _stencil_supported(h: int, w: int, planes: int) -> bool:
@@ -1144,12 +1214,25 @@ def divergence(u: jnp.ndarray, v: jnp.ndarray, half: bool, *,
     return d[0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _vel_stats_spec(n_strips: int):
+    """(out_shape, out_spec) for a per-strip velocity-stats SMEM output of a
+    grid-(1, n_strips) kernel; reduce with _vel_stats_reduce."""
+    return (jax.ShapeDtypeStruct((2, n_strips), jnp.float32),
+            pl.BlockSpec((2, n_strips), lambda c, i: (0, 0),
+                         memory_space=pltpu.SMEM))
+
+
+def _vel_stats_reduce(st):
+    return jnp.max(st.reshape(2, -1), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "return_stats"))
 def project(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray, *,
-            block_rows: int = 256):
+            block_rows: int = 256, return_stats: bool = False):
     """Pressure-gradient subtraction (ref.project semantics, clamped edges;
     GPUFluidSim.cu:498-516).  Caller checks divergence_supported (same
-    geometry gate)."""
+    geometry gate).  ``return_stats``: also emit ops.ref.vel_max of the
+    output velocity from the kernel (blocks already in VMEM)."""
     h, w = u.shape
     hd = _SUBLANE
     r = _pick_block_rows(h, hd, w, block_rows, planes=5)
@@ -1158,15 +1241,22 @@ def project(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray, *,
                        memory_space=pltpu.VMEM)
     kern = functools.partial(_project_kernel, n_strips=n_strips)
     u3, v3, p3 = u[None], v[None], p[None]
-    u2, v2 = pl.pallas_call(
+    shapes = [jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2
+    specs = [out, out]
+    if return_stats:
+        st_shape, st_spec = _vel_stats_spec(n_strips)
+        shapes, specs = shapes + [st_shape], specs + [st_spec]
+    res = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        out_shape=shapes,
         grid=(1, n_strips),
         in_specs=[mid, lo, hi, mid, mid],
-        out_specs=[out, out],
+        out_specs=specs,
         interpret=_interpret(),
     )(p3, p3, p3, u3, v3)
-    return u2[0], v2[0]
+    if return_stats:
+        return res[0][0], res[1][0], _vel_stats_reduce(res[2])
+    return res[0][0], res[1][0]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "block_rows", "burst"))

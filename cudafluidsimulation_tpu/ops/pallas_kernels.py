@@ -66,10 +66,14 @@ def overrides(config: FluidConfig) -> dict:
             # sweeps in pallas, with jnp divergence/project around them
             from cudafluidsimulation_tpu.ops import ref as _r
 
-            def _pp(u, v, iters, half, _br=prs_rows, _bu=prs_burst):
+            def _pp(u, v, iters, half, _br=prs_rows, _bu=prs_burst,
+                    return_stats=False):
                 d = _r.divergence(u, v, half)
                 p = jacobi_pallas.pressure_solve(
                     d, iters, block_rows=_br, burst=_bu)
+                if return_stats:
+                    u2, v2, st = _r.project(u, v, p, return_stats=True)
+                    return u2, v2, p, st
                 u2, v2 = _r.project(u, v, p)
                 return u2, v2, p
 

@@ -75,22 +75,46 @@ def _backtrace(u: Array, v: Array, dt) -> Tuple[Array, Array]:
     return xs - dt * u, ys - dt * v
 
 
-def advect_velocity(u: Array, v: Array, dt, decay_rate) -> Tuple[Array, Array]:
+def vel_max(u: Array, v: Array) -> Array:
+    """(2,) velocity magnitude stats [max|u|, max|v|] — the quantity the
+    advection fast-path predicate and the clamp-observability warning need
+    (realized backtrace displacement = stats * dt).  Producer ops emit this
+    about their OUTPUT velocity so consumers never re-read the arrays from
+    HBM (the pallas kernels compute it on blocks already resident in VMEM;
+    this jnp form is for the ref backend, where XLA fuses the reduction
+    into the producing elementwise graph)."""
+    return jnp.stack([jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))])
+
+
+def advect_velocity(u: Array, v: Array, dt, decay_rate, *, vel_stats=None,
+                    return_stats: bool = False):
     """Semi-Lagrangian self-advection with exponential decay
-    1/(1 + rate*dt) (cpuFluidSim.cpp:172-179, GPUFluidSim.cu:258-272)."""
+    1/(1 + rate*dt) (cpuFluidSim.cpp:172-179, GPUFluidSim.cu:258-272).
+
+    ``vel_stats``: optional producer-emitted :func:`vel_max` bound of the
+    INPUT (u, v) — unused here (no dual dispatch), accepted for signature
+    parity with the pallas op.  ``return_stats``: also return
+    :func:`vel_max` of the advected output."""
+    del vel_stats
     decay = 1.0 / (1.0 + decay_rate * dt)
     px, py = _backtrace(u, v, dt)
     u2 = bilerp(u, px, py) * decay
     v2 = bilerp(v, px, py) * decay
+    if return_stats:
+        return u2, v2, vel_max(u2, v2)
     return u2, v2
 
 
-def advect_dye(dye: Array, u: Array, v: Array, dt, decay_rate) -> Array:
+def advect_dye(dye: Array, u: Array, v: Array, dt, decay_rate, *,
+               vel_stats=None) -> Array:
     """Dye advection with the reference's gamma-ish fade:
     c = min(1, c^1.005 * decay) per channel (cpuFluidSim.cpp:158-169,
     GPUFluidSim.cu:275-294).  Both reference backends advect dye with the
     *already advected* velocity (cpuFluidSim.cpp:340-341 swap order;
-    GPUFluidSim.cu:620-622), so callers pass post-advection (u, v)."""
+    GPUFluidSim.cu:620-622), so callers pass post-advection (u, v).
+    ``vel_stats`` (a bound on that velocity) is accepted for signature
+    parity with the pallas op and unused here."""
+    del vel_stats
     decay = 1.0 / (1.0 + decay_rate * dt)
     px, py = _backtrace(u, v, dt)
     c = bilerp(dye, px, py)
@@ -255,14 +279,18 @@ def pressure_solve_mg(div: Array, cycles: int = 2, tol: float = 0.0,
     return mg(div, cycles=cycles, tol=tol, max_cycles=max_cycles)
 
 
-def project(u: Array, v: Array, p: Array) -> Tuple[Array, Array]:
+def project(u: Array, v: Array, p: Array, *, return_stats: bool = False):
     """u -= 0.5*(pR - pL), v -= 0.5*(pT - pB), clamped edges
     (cpuFluidSim.cpp:374-377, GPUFluidSim.cu:498-516)."""
     pl, pr, pb, pt = neighbors(p)
-    return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
+    u2, v2 = u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
+    if return_stats:
+        return u2, v2, vel_max(u2, v2)
+    return u2, v2
 
 
-def pressure_project(u: Array, v: Array, iters: int, half: bool):
+def pressure_project(u: Array, v: Array, iters: int, half: bool, *,
+                     return_stats: bool = False):
     """The whole projection step — divergence, ``iters``-sweep Jacobi from
     p=0, gradient subtraction — as one op returning (u', v', p).
 
@@ -274,6 +302,9 @@ def pressure_project(u: Array, v: Array, iters: int, half: bool):
     that fusion."""
     d = divergence(u, v, half)
     p = pressure_solve(d, iters)
+    if return_stats:
+        u2, v2, st = project(u, v, p, return_stats=True)
+        return u2, v2, p, st
     u2, v2 = project(u, v, p)
     return u2, v2, p
 

@@ -120,6 +120,7 @@ def measure_halo_traffic(config, mesh, axis_name: str = "x",
         time_since_press=jax.ShapeDtypeStruct((), f32),
         mouse=jax.ShapeDtypeStruct((2,), f32),
         step=jax.ShapeDtypeStruct((), jnp.int32),
+        vel_stats=jax.ShapeDtypeStruct((2,), f32),
     )
     imp = Impulse(
         pos=jax.ShapeDtypeStruct((2,), f32),

@@ -61,6 +61,7 @@ def state_sharding(mesh: Mesh, batched: bool = False) -> FluidState:
         time_since_press=ns(),
         mouse=ns(None),
         step=ns(),
+        vel_stats=ns(None),
     )
 
 

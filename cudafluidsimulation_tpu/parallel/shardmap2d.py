@@ -110,7 +110,14 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         bot = p10 * (1.0 - tx) + p11 * tx
         return top * (1.0 - ty) + bot * ty
 
-    def _advect_pallas_2d(fields_p, up, vp, dt, decay_rate, mode):
+    def _vmax_repl(u2, v2):
+        """Replicated ops.ref.vel_max over BOTH mesh axes (see
+        shardmap_step._vmax_repl)."""
+        st = jnp.stack([jnp.max(jnp.abs(u2)), jnp.max(jnp.abs(v2))])
+        return lax.pmax(lax.pmax(st, row_axis), col_axis)
+
+    def _advect_pallas_2d(fields_p, up, vp, dt, decay_rate, mode,
+                          vel_stats=None):
         from cudafluidsimulation_tpu.ops import advect_pallas
 
         hl = up.shape[0] - 2 * d
@@ -118,28 +125,35 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         r0, c0 = lax.axis_index(row_axis) * hl, lax.axis_index(col_axis) * wl
         out = advect_pallas.advect(
             fields_p, up, vp, dt, float(decay_rate), mode, d,
-            y0=r0 - d, h_phys=h_global, x0=c0 - d, w_phys=w_global, d_x=d)
+            y0=r0 - d, h_phys=h_global, x0=c0 - d, w_phys=w_global, d_x=d,
+            vel_stats=vel_stats)
         return out[:, d:-d, d:-d]
 
-    def advect_velocity(u, v, dt, decay_rate):
+    def advect_velocity(u, v, dt, decay_rate, vel_stats=None,
+                        return_stats=False):
         if use_pallas:
             fp = _x2d(jnp.stack([u, v]), d)
-            uv = _advect_pallas_2d(fp, fp[0], fp[1], dt, decay_rate, "field")
-            return uv[0], uv[1]
-        decay = 1.0 / (1.0 + decay_rate * dt)
-        uv = _bilerp_2d(jnp.stack([u, v]), u, v, dt) * decay
+            uv = _advect_pallas_2d(fp, fp[0], fp[1], dt, decay_rate, "field",
+                                   vel_stats=vel_stats)
+        else:
+            decay = 1.0 / (1.0 + decay_rate * dt)
+            uv = _bilerp_2d(jnp.stack([u, v]), u, v, dt) * decay
+        if return_stats:
+            return uv[0], uv[1], _vmax_repl(uv[0], uv[1])
         return uv[0], uv[1]
 
-    def advect_dye(dye, u, v, dt, decay_rate):
+    def advect_dye(dye, u, v, dt, decay_rate, vel_stats=None):
         if use_pallas:
             zpad = [(d, d), (d, d)]
             return _advect_pallas_2d(_x2d(dye, d), jnp.pad(u, zpad),
-                                     jnp.pad(v, zpad), dt, decay_rate, "dye")
+                                     jnp.pad(v, zpad), dt, decay_rate, "dye",
+                                     vel_stats=vel_stats)
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_2d(dye, u, v, dt)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
-    def advect_both(u, v, dye, dt, decay_rate):
+    def advect_both(u, v, dye, dt, decay_rate, vel_stats=None,
+                    return_stats=False):
         """Velocity + dye advection off ONE d-deep exchange_2d of the
         stacked 5-channel halo (see shardmap_step.advect_both: both
         advections tap PRE-advection data, and the dye backtrace's NEW
@@ -149,16 +163,22 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         zpad = [(d, d), (d, d)]
         if use_pallas:
             uv = _advect_pallas_2d(allp[:2], allp[0], allp[1], dt,
-                                   decay_rate, "field")
+                                   decay_rate, "field", vel_stats=vel_stats)
             u2, v2 = uv[0], uv[1]
+            st = _vmax_repl(u2, v2) if return_stats else None
             dye2 = _advect_pallas_2d(allp[2:], jnp.pad(u2, zpad),
                                      jnp.pad(v2, zpad), dt, decay_rate,
-                                     "dye")
+                                     "dye", vel_stats=st)
+            if return_stats:
+                return u2, v2, dye2, st
             return u2, v2, dye2
         uv = _bilerp_2d_padded(allp[:2], u, v, dt) * decay
         u2, v2 = uv[0], uv[1]
         c = _bilerp_2d_padded(allp[2:], u2, v2, dt)
-        return u2, v2, jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+        dye2 = jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+        if return_stats:
+            return u2, v2, dye2, _vmax_repl(u2, v2)
+        return u2, v2, dye2
 
     # -- stencil stages ---------------------------------------------------------
 
@@ -293,9 +313,12 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         p, _ = lax.scan(sweep, jnp.zeros_like(div), None, length=iters)
         return p
 
-    def project(u, v, p):
+    def project(u, v, p, return_stats=False):
         l, r, b, t = _neighbors_2d(_x2d(p, 1))
-        return u - 0.5 * (r - l), v - 0.5 * (t - b)
+        u2, v2 = u - 0.5 * (r - l), v - 0.5 * (t - b)
+        if return_stats:
+            return u2, v2, _vmax_repl(u2, v2)
+        return u2, v2
 
     def _composed_pressure_project(u, v, iters, half):
         dd = divergence(u, v, half)
@@ -362,11 +385,15 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         v2 = v - 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
         return u2, v2, ps
 
-    def pressure_project(u, v, iters, half):
+    def pressure_project(u, v, iters, half, return_stats=False):
         kf = min(pallas_burst, max(iters, 1)) + 2
         if use_pallas and min(u.shape[-2], u.shape[-1]) >= kf:
-            return _fused_pressure_project(u, v, iters, half)
-        return _composed_pressure_project(u, v, iters, half)
+            u2, v2, p = _fused_pressure_project(u, v, iters, half)
+        else:
+            u2, v2, p = _composed_pressure_project(u, v, iters, half)
+        if return_stats:
+            return u2, v2, p, _vmax_repl(u2, v2)
+        return u2, v2, p
 
     # -- multigrid ---------------------------------------------------------------
 
@@ -494,6 +521,7 @@ def _state_spec2d() -> FluidState:
     return FluidState(
         u=plane, v=plane, dye=P(None, "rows", "cols"), pressure=plane,
         t=P(), press_time=P(), time_since_press=P(), mouse=P(None), step=P(),
+        vel_stats=P(None),  # replicated: the local ops pmax their stats
     )
 
 

@@ -90,7 +90,16 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     every sweep (see _pallas_jacobi_bursts for the exactness argument)."""
     ns = types.SimpleNamespace()
 
-    def _advect_pallas_local(fields, up, vp, dt, decay_rate, mode):
+    def _vmax_repl(u2, v2):
+        """Replicated ops.ref.vel_max of a row-sharded velocity: local
+        reduction + a (2,)-element pmax over the mesh axis.  Keeps
+        state.vel_stats spec P(None) truthful and makes every shard's
+        advect fast-path dispatch uniform."""
+        st = jnp.stack([jnp.max(jnp.abs(u2)), jnp.max(jnp.abs(v2))])
+        return lax.pmax(st, axis_name)
+
+    def _advect_pallas_local(fields, up, vp, dt, decay_rate, mode,
+                             vel_stats=None):
         """Run the single-chip pallas advect kernel on the d-halo-padded
         local view: the kernel clamps taps against the GLOBAL domain via the
         y0/h_phys offsets, so padded rows (sliced off afterwards) only waste
@@ -102,10 +111,12 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         fp = exchange_rows(fields, d, axis_name, edge="clamp")
         g0 = lax.axis_index(axis_name) * hl - d  # global row of padded row 0
         out = advect_pallas.advect(fp, up, vp, dt, float(decay_rate), mode,
-                                   d, y0=g0, h_phys=h_global)
+                                   d, y0=g0, h_phys=h_global,
+                                   vel_stats=vel_stats)
         return out[:, d:-d, :]
 
-    def advect_velocity(u, v, dt, decay_rate):
+    def advect_velocity(u, v, dt, decay_rate, vel_stats=None,
+                        return_stats=False):
         if use_pallas:
             # the one d-deep exchange of the sampled stack doubles as the
             # padded velocity for the backtrace positions
@@ -116,26 +127,31 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             g0 = lax.axis_index(axis_name) * hl - d
             out = advect_pallas.advect(fp, fp[0], fp[1], dt,
                                        float(decay_rate), "field", d,
-                                       y0=g0, h_phys=h_global)
+                                       y0=g0, h_phys=h_global,
+                                       vel_stats=vel_stats)
             uv = out[:, d:-d, :]
-            return uv[0], uv[1]
-        # one stacked sample: a single d-row halo exchange and one set of
-        # backtrace/clip index computations for both components
-        decay = 1.0 / (1.0 + decay_rate * dt)
-        uv = _bilerp_sharded(jnp.stack([u, v]), u, v, dt, h_global, d,
-                             axis_name) * decay
+        else:
+            # one stacked sample: a single d-row halo exchange and one set
+            # of backtrace/clip index computations for both components
+            decay = 1.0 / (1.0 + decay_rate * dt)
+            uv = _bilerp_sharded(jnp.stack([u, v]), u, v, dt, h_global, d,
+                                 axis_name) * decay
+        if return_stats:
+            return uv[0], uv[1], _vmax_repl(uv[0], uv[1])
         return uv[0], uv[1]
 
-    def advect_dye(dye, u, v, dt, decay_rate):
+    def advect_dye(dye, u, v, dt, decay_rate, vel_stats=None):
         if use_pallas:
             zpad = [(d, d), (0, 0)]
             return _advect_pallas_local(dye, jnp.pad(u, zpad), jnp.pad(v, zpad),
-                                        dt, decay_rate, "dye")
+                                        dt, decay_rate, "dye",
+                                        vel_stats=vel_stats)
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
 
-    def advect_both(u, v, dye, dt, decay_rate):
+    def advect_both(u, v, dye, dt, decay_rate, vel_stats=None,
+                    return_stats=False):
         """Velocity + dye advection off ONE d-deep exchange of the stacked
         5-channel (velocity, dye) halo: both advections tap PRE-advection
         data (the reference's double buffer, GPUFluidSim.cu:620-622), so the
@@ -152,18 +168,26 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             g0 = lax.axis_index(axis_name) * hl - d
             uv = advect_pallas.advect(allp[:2], allp[0], allp[1], dt,
                                       float(decay_rate), "field", d,
-                                      y0=g0, h_phys=h_global)[:, d:-d, :]
+                                      y0=g0, h_phys=h_global,
+                                      vel_stats=vel_stats)[:, d:-d, :]
             u2, v2 = uv[0], uv[1]
+            st = _vmax_repl(u2, v2) if return_stats else None
             zpad = [(d, d), (0, 0)]
             dye2 = advect_pallas.advect(allp[2:], jnp.pad(u2, zpad),
                                         jnp.pad(v2, zpad), dt,
                                         float(decay_rate), "dye", d,
-                                        y0=g0, h_phys=h_global)[:, d:-d, :]
+                                        y0=g0, h_phys=h_global,
+                                        vel_stats=st)[:, d:-d, :]
+            if return_stats:
+                return u2, v2, dye2, st
             return u2, v2, dye2
         uv = _bilerp_padded(allp[:2], u, v, dt, h_global, d, axis_name) * decay
         u2, v2 = uv[0], uv[1]
         c = _bilerp_padded(allp[2:], u2, v2, dt, h_global, d, axis_name)
-        return u2, v2, jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+        dye2 = jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
+        if return_stats:
+            return u2, v2, dye2, _vmax_repl(u2, v2)
+        return u2, v2, dye2
 
     def curl(u, v):
         # one stacked exchange for both components (half the ppermute pairs)
@@ -311,10 +335,13 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         p, _ = lax.scan(sweep, p0, None, length=iters)
         return p
 
-    def project(u, v, p):
+    def project(u, v, p, return_stats=False):
         pp = exchange_rows(p, 1, axis_name)
         pl, pr, pb, pt = neighbors_padded(pp)
-        return u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
+        u2, v2 = u - 0.5 * (pr - pl), v - 0.5 * (pt - pb)
+        if return_stats:
+            return u2, v2, _vmax_repl(u2, v2)
+        return u2, v2
 
     def _composed_pressure_project(u, v, iters, half):
         dd = divergence(u, v, half)
@@ -393,12 +420,16 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         v2 = v - 0.5 * (p[2:] - p[:-2])
         return u2, v2, ps
 
-    def pressure_project(u, v, iters, half):
+    def pressure_project(u, v, iters, half, return_stats=False):
         if use_pallas and u.shape[0] >= min(pallas_burst, max(iters, 1)) + 2:
-            return _fused_pressure_project(u, v, iters, half)
-        # shard-local composition (the single-chip fused kernels need
-        # velocity halos the exchange path provides per-op anyway)
-        return _composed_pressure_project(u, v, iters, half)
+            u2, v2, p = _fused_pressure_project(u, v, iters, half)
+        else:
+            # shard-local composition (the single-chip fused kernels need
+            # velocity halos the exchange path provides per-op anyway)
+            u2, v2, p = _composed_pressure_project(u, v, iters, half)
+        if return_stats:
+            return u2, v2, p, _vmax_repl(u2, v2)
+        return u2, v2, p
 
     def _splat(kind):
         def splat(u, v, dye, cur, last, dt, force_scale, radius, color):
@@ -538,6 +569,7 @@ def _state_spec(axis_name: str) -> FluidState:
     return FluidState(
         u=plane, v=plane, dye=P(None, axis_name, None), pressure=plane,
         t=P(), press_time=P(), time_since_press=P(), mouse=P(None), step=P(),
+        vel_stats=P(None),  # replicated: the local ops pmax their stats
     )
 
 

@@ -35,6 +35,14 @@ class FluidState(NamedTuple):
     mouse: jnp.ndarray  # last impulse grid position (2,), the cpu-parity
     #   splat's force center memory (cpuFluidSim.cpp:31-32,317,409)
     step: jnp.ndarray  # i32 step counter
+    vel_stats: jnp.ndarray  # (2,) [max|u|, max|v|] UPPER BOUND of (u, v),
+    #   emitted by the producing kernel (pressure projection) about blocks
+    #   already in VMEM (ops.ref.vel_max contract).  Consumers: the advection
+    #   fast-path dispatch predicate (free instead of two full-array HBM
+    #   reductions) and always-on clamp observability (realized backtrace
+    #   displacement = vel_stats * dt).  The cpu-variant boundary strip only
+    #   zeroes rows, so the bound stays valid after it.  No reference
+    #   counterpart (the reference has no runtime stats).
 
 
 def init_state(config: FluidConfig) -> FluidState:
@@ -52,4 +60,5 @@ def init_state(config: FluidConfig) -> FluidState:
         time_since_press=jnp.full((), 1e9, f32),  # "never pressed yet"
         mouse=jnp.zeros((2,), f32),
         step=jnp.zeros((), jnp.int32),
+        vel_stats=jnp.zeros((2,), f32),  # exact: initial velocity is zero
     )

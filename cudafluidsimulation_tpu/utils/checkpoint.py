@@ -64,7 +64,18 @@ def load_state(path: str) -> FluidState:
     import jax.numpy as jnp
 
     with np.load(_norm(path)) as data:
-        return FluidState(**{k: jnp.asarray(data[k]) for k in FluidState._fields})
+        fields = {}
+        for k in FluidState._fields:
+            if k == "vel_stats" and k not in data.files:
+                # checkpoints written before the producer-emitted velocity
+                # stats existed: recompute the bound from the saved fields
+                # (a one-time host-side reduction at load)
+                fields[k] = jnp.asarray(
+                    np.stack([np.max(np.abs(data["u"])),
+                              np.max(np.abs(data["v"]))]).astype(np.float32))
+                continue
+            fields[k] = jnp.asarray(data[k])
+        return FluidState(**fields)
 
 
 def load_state_with_fallback(path: str) -> FluidState:

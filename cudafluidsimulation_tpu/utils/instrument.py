@@ -75,9 +75,12 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
     # The production pipeline runs fused ops; for stage ATTRIBUTION
     # decompose them through the wrapped sub-ops so the reference's stage
     # buckets (GPUFluidSim.cu:609-712) stay meaningful.
-    def pressure_project(u, v, iters, half):
+    def pressure_project(u, v, iters, half, return_stats=False):
         d = ns.divergence(u, v, half)
         p = ns.pressure_solve(d, iters)
+        if return_stats:
+            u2, v2, st = ns.project(u, v, p, return_stats=True)
+            return u2, v2, p, st
         u2, v2 = ns.project(u, v, p)
         return u2, v2, p
 
@@ -92,11 +95,19 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
         totals["Force"] = totals.get("Force", 0.0) + time.perf_counter() - t0
         return out
 
-    def advect_both(u, v, dye, dt, decay_rate):
+    def advect_both(u, v, dye, dt, decay_rate, vel_stats=None,
+                    return_stats=False):
         # decompose the (optional, sharded-namespace) fused advection through
         # the wrapped sub-ops so Advect billing survives namespace patching —
         # same rule as the pressure_project/diffuse_multi_splat decompositions
-        u2, v2 = ns.advect_velocity(u, v, dt, decay_rate)
+        if return_stats:
+            u2, v2, st = ns.advect_velocity(u, v, dt, decay_rate,
+                                            vel_stats=vel_stats,
+                                            return_stats=True)
+            dye2 = ns.advect_dye(dye, u2, v2, dt, decay_rate, vel_stats=st)
+            return u2, v2, dye2, st
+        u2, v2 = ns.advect_velocity(u, v, dt, decay_rate,
+                                    vel_stats=vel_stats)
         return u2, v2, ns.advect_dye(dye, u2, v2, dt, decay_rate)
 
     def render_frame(dye, pos, intense, radius, active):
