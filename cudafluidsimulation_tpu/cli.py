@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "default (15).  Raise for exactness on fast flows — "
                    "d=31 covers the driven benchmark flow at ~10%% more "
                    "step time (BASELINE.md)")
+    p.add_argument("--fast-dye", action="store_true",
+                   help="bf16-packed dye advection (pallas backend): ~19%% "
+                   "faster dye kernel for ~5e-3 max dye error on fast "
+                   "flows (quiet steps stay exact f32); velocity and "
+                   "pressure are unaffected.  Off by default — reference "
+                   "parity requires f32 dye")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--impulse-file", default="",
                    help="JSON impulse script ([x,y,pressed] per step or "
@@ -258,6 +264,8 @@ def main(argv=None) -> int:
         raise SystemExit("--max-displacement must be >= 0 (0 = default)")
     if args.max_displacement > 0:
         overrides["max_displacement"] = args.max_displacement
+    if args.fast_dye:
+        overrides["fast_dye"] = True
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 

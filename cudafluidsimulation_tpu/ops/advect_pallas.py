@@ -170,6 +170,77 @@ def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
     return _finish(acc, mode, decay_rate, dt)
 
 
+def _advect_core_packed(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
+                        w_phys, r, hd, d, d_x, c, wt):
+    """Opt-in bf16-packed dye core (config.fast_dye): identical tap set,
+    windows and weights to :func:`_advect_core`, but dye channels 0 and 1
+    are bf16-packed into one i32 plane (bf16 = top 16 f32 bits, +0x8000
+    rounding) and channel 2 rides bitcast i32 at full precision, so EVERY
+    roll moves a (2, he, wext) i32 stack instead of (3, he, wext) f32 —
+    2/3 the roll volume for the op class that measured 49% of the dye
+    kernel (scripts/roll_share_probe.py).  Taps unpack with mask/shift +
+    bitcast (cheap elementwise VPU) and accumulate in f32.
+
+    Accuracy: bf16 storage of 2 channels' TAP values — max |err| ~5e-3 on
+    [0, 1] dye (measured vs the f32 core on the driven benchmark flow);
+    accumulation and weights stay f32.  Measured 19% faster than the f32
+    core at an identical geometry (16.09 vs 19.94 ms driven 2048²/d=31,
+    scripts/advect_anatomy_probe.py `packed`).  Deliberately NOT used on
+    the quiet fast path (the static ±1 core stays exact f32), so fast-mode
+    error only arises where the flow is fast.  Requires mode "dye" and all
+    3 channels in one program (cb == 3)."""
+    assert mode == "dye" and c == 3
+    he = r + 2 * hd
+    wext = ext.shape[2]
+    wd = (wext - wt) // 2
+
+    tx, ty, dx1, dx2, dy1, dy2 = _tap_setup(
+        dt, y0, x0, u, v, h_phys=h_phys, w_phys=w_phys, r=r, d=d, d_x=d_x,
+        wt=wt)
+    dylo = jnp.minimum(jnp.min(dy1), jnp.min(dy2))
+    dyhi = jnp.maximum(jnp.max(dy1), jnp.max(dy2))
+
+    m = jnp.int32(-65536)  # 0xFFFF0000
+    b0 = pltpu.bitcast(ext[0], jnp.int32)
+    b1 = pltpu.bitcast(ext[1], jnp.int32)
+    pk = ((b0 + 0x8000) & m) | jax.lax.shift_right_logical(b1 + 0x8000, 16)
+    pext = jnp.stack([pk, pltpu.bitcast(ext[2], jnp.int32)])
+
+    def dy_body(dy, acc):
+        wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+              + jnp.where(dy2 == dy, ty, 0.0))
+        active = (dy1 == dy) | (dy2 == dy)
+        dxlo = jnp.min(jnp.where(active, dx1, d_x))
+        dxhi = jnp.max(jnp.where(active, dx2, -d_x))
+        core = pltpu.roll(pext, jnp.mod(he - dy, he),
+                          axis=1)[:, hd:hd + r, :]
+
+        def dx_body(dx, carry):
+            acc, rcur = carry
+            wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                  + jnp.where(dx2 == dx, tx, 0.0))
+            w = (wx * wy)[None]
+            c0 = pltpu.bitcast(rcur[0] & m, jnp.float32)
+            c1 = pltpu.bitcast(rcur[0] << 16, jnp.float32)
+            c2 = pltpu.bitcast(rcur[1], jnp.float32)
+            vals = jnp.stack([c0, c1, c2])[:, :, :wt]
+            return acc + w * vals, pltpu.roll(rcur, wext - 1, axis=2)
+
+        r0 = pltpu.roll(core, jnp.mod(wext - wd - dxlo, wext), axis=2)
+        acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
+        return acc
+
+    acc = jax.lax.fori_loop(dylo, dyhi + 1, dy_body,
+                            jnp.zeros((c, r, wt), jnp.float32))
+    # Clamp extrapolation undershoot to 0 instead of reproducing the
+    # reference's pow(neg)->NaN->fmin saturation to 1.0: bf16 tap noise can
+    # flip the SIGN of a marginally-negative accumulation, which under the
+    # exact semantics turns a ~0 dye cell into a full-bright 1.0 pixel.
+    # The fast mode trades that quirk for artifact-free output (deliberate
+    # divergence, opt-in only; the f32 cores keep exact parity).
+    return _finish(jnp.maximum(acc, 0.0), mode, decay_rate, dt)
+
+
 def _advect_core_static(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
                         w_phys, r, hd, d, d_x, c, wt):
     """±1-window fast path: computes the SAME tap set and weights as
@@ -435,11 +506,12 @@ def uses_column_tiling(h: int, w: int, c: int, d: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d",
                                              "h_phys", "w_phys", "d_x",
-                                             "return_stats"))
+                                             "return_stats", "packed"))
 def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
            decay_rate: float, mode: str = "field", d: int = 15,
            y0=0, h_phys: int = 0, x0=0, w_phys: int = 0,
-           d_x: int = 0, vel_stats=None, return_stats: bool = False):
+           d_x: int = 0, vel_stats=None, return_stats: bool = False,
+           packed: bool = False):
     """Advect (C, H, W) ``fields`` through velocity (u, v) with the
     reference's decay semantics.  mode "dye" applies the
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290).
@@ -465,15 +537,15 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     if plan is not None:
         return _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
                              y0, h_phys or h, x0, w_phys or w, plan,
-                             vel_stats, return_stats)
+                             vel_stats, return_stats, packed)
     return _advect_flat(fields, u, v, dt, decay_rate, mode, d, y0,
                         h_phys or h, x0, w_phys or w, d_x,
-                        vel_stats, return_stats)
+                        vel_stats, return_stats, packed)
 
 
 def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
                  y0, h_phys, x0, w_phys, d_x, vel_stats=None,
-                 return_stats=False):
+                 return_stats=False, packed=False):
     c, h, w = fields.shape
     hd = _halo(d)
     hp, wp, r, cb = _pad_geometry(h, w, c, hd)
@@ -529,14 +601,18 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
         )
         return lambda a: call(a[0], a[1], a[2], a[3], a[4], a[5], a[5], a[5])
 
+    # the opt-in bf16-packed dye core replaces the DYNAMIC core only (the
+    # quiet fast path stays exact f32); needs all channels in one program
+    dyn = (_advect_core_packed if packed and mode == "dye" and cb == c
+           else None)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
     if _FAST_PATH:
         # runtime dual path: quiet steps (realized displacement < 1 cell on
         # both axes) take the static ±1 core, which runs at the DMA floor
         res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
-                           launch(_advect_core_static), launch(None), args)
+                           launch(_advect_core_static), launch(dyn), args)
     else:
-        res = launch(None)(args)
+        res = launch(dyn)(args)
     if return_stats:
         out, st = res
         return out[:, :h, :w], jnp.max(st, axis=1)
@@ -545,7 +621,7 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
 
 def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
                   y0, h_phys, x0, w_phys, plan, vel_stats=None,
-                  return_stats=False):
+                  return_stats=False, packed=False):
     """One (channels, strips, tiles) launch over 3x3 halo-block inputs."""
     c, h, w = fields.shape
     hd = _halo(d)
@@ -633,12 +709,14 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
         return lambda a: call(a[0], a[1], a[2], a[3], a[4],
                               *([a[5]] * 9))
 
+    dyn = (_advect_core_packed if packed and mode == "dye" and cb == c
+           else None)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
     if _FAST_PATH:
         res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
-                           launch(_advect_core_static), launch(None), args)
+                           launch(_advect_core_static), launch(dyn), args)
     else:
-        res = launch(None)(args)
+        res = launch(dyn)(args)
     if return_stats:
         out, st = res
         return out[:, :h, :w], jnp.max(st.reshape(c, -1), axis=1)
@@ -661,8 +739,11 @@ def advect_velocity(u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
     return uv[0], uv[1]
 
 
-def advect_dye(dye, u, v, dt, decay_rate, d: int = 15, *, vel_stats=None):
+def advect_dye(dye, u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
+               packed: bool = False):
     """Dye advection + fade (GPUFluidSim.cu:275-294); callers pass the
-    already-advected velocity, matching both reference step orders."""
+    already-advected velocity, matching both reference step orders.
+    ``packed``: opt-in bf16-packed fast mode (config.fast_dye) — see
+    :func:`_advect_core_packed` for the accuracy/perf contract."""
     return advect(dye, u, v, dt, float(decay_rate), "dye", d,
-                  vel_stats=vel_stats)
+                  vel_stats=vel_stats, packed=packed)

@@ -102,5 +102,6 @@ def overrides(config: FluidConfig) -> dict:
     if advect_pallas.supported(config.ny, config.nx, 2, d):
         out["advect_velocity"] = functools.partial(advect_pallas.advect_velocity, d=d)
     if advect_pallas.supported(config.ny, config.nx, 3, d):
-        out["advect_dye"] = functools.partial(advect_pallas.advect_dye, d=d)
+        out["advect_dye"] = functools.partial(
+            advect_pallas.advect_dye, d=d, packed=config.fast_dye)
     return out

@@ -36,6 +36,8 @@ D = int(sys.argv[4]) if len(sys.argv) > 4 else 15
 VARIANTS = (sys.argv[5].split(",") if len(sys.argv) > 5
             else ["copy", "tablestat", "full"])
 FORCE_R = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+FORCE_CB = int(sys.argv[7]) if len(sys.argv) > 7 else 0  # channel block
+
 
 
 def variant_core(variant, dt, y0, x0, u, v, ext, *, h_phys, w_phys,
@@ -226,6 +228,48 @@ def variant_core(variant, dt, y0, x0, u, v, ext, *, h_phys, w_phys,
         return acc
 
     z = jnp.zeros((c, r, wt), jnp.float32)
+    if variant == "packed":
+        # bf16-pack dye channels 0,1 into one i32 plane (bf16 = top 16 bits
+        # of f32, rounded by +0x8000 truncation); channel 2 rides bitcast
+        # i32 at full precision.  ALL rolls then move a (2, he, wext) i32
+        # stack instead of (3, he, wext) f32 — 2/3 the roll volume for the
+        # op class that measured 49% of the dye kernel (roll_share_probe).
+        # Taps unpack with mask/shift + bitcast (cheap elementwise VPU) and
+        # FMA in f32; accuracy cost is bf16 storage of 2 channels' taps
+        # (~2^-8 relative) — candidate opt-in fast mode only.
+        assert c == 3
+        m = jnp.int32(-65536)  # 0xFFFF0000
+        b0 = pltpu.bitcast(ext[0], jnp.int32)
+        b1 = pltpu.bitcast(ext[1], jnp.int32)
+        pk = ((b0 + 0x8000) & m) | jax.lax.shift_right_logical(
+            b1 + 0x8000, 16)
+        pext = jnp.stack([pk, pltpu.bitcast(ext[2], jnp.int32)])
+
+        def dy_body_packed(dy, acc):
+            wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+                  + jnp.where(dy2 == dy, ty, 0.0))
+            active = (dy1 == dy) | (dy2 == dy)
+            dxlo = jnp.min(jnp.where(active, dx1, d_x))
+            dxhi = jnp.max(jnp.where(active, dx2, -d_x))
+            core = pltpu.roll(pext, jnp.mod(he - dy, he),
+                              axis=1)[:, hd:hd + r, :]
+
+            def dx_body(dx, carry):
+                acc, rcur = carry
+                wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                      + jnp.where(dx2 == dx, tx, 0.0))
+                w = (wx * wy)[None]
+                c0 = pltpu.bitcast(rcur[0] & m, jnp.float32)
+                c1 = pltpu.bitcast(rcur[0] << 16, jnp.float32)
+                c2 = pltpu.bitcast(rcur[1], jnp.float32)
+                vals = jnp.stack([c0, c1, c2])[:, :, :wt]
+                return acc + w * vals, pltpu.roll(rcur, wext - 1, axis=2)
+
+            r0 = pltpu.roll(core, jnp.mod(wext - wd - dxlo, wext), axis=2)
+            acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
+            return acc
+
+        return jax.lax.fori_loop(dylo, dyhi + 1, dy_body_packed, z)
     if variant == "xpose":
         # Transposed loop order: OUTER over x offsets (static single-lane
         # advance rolls), INNER over each dx's realized dy chord (sublane
@@ -330,6 +374,8 @@ def make_advect(variant, c, h, w, d):
         r = FORCE_R
         assert r % hd == 0, (r, hd)
         hp = -(-h // r) * r
+    if FORCE_CB:
+        cb = FORCE_CB  # bypass the planner (packed variants shrink VMEM)
     n_strips = hp // r
     hblk = hp // hd
     c_grid = c // cb
@@ -503,7 +549,7 @@ for regime, speed in (("quiet", 0.5), ("driven", float(D) * 0.7 / dt)):
             continue  # fixed windows are only meaningful when flow < 1 cell
         jax.clear_caches()
         fn, geo = make_advect(variant, C, ny, nx, D)
-        if variant in ("zigzag", "xpose", "full"):
+        if variant in ("zigzag", "xpose", "packed", "full"):
             outs[variant] = jax.device_get(jax.jit(fn)(f, u, v, dt))
         ms = delta_time(fn, (f, u, v, dt))
         print(f"  {variant:6s}: {ms:7.3f} ms   (r={geo[0]}, hd={geo[1]}, "

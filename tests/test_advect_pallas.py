@@ -353,3 +353,108 @@ def test_tile_plan_rescues_flat_unviable_geometry():
 
     assert ap._tile_plan(8192, 8192, 3, 31) is not None
     assert ap.supported(8192, 8192, 3, 31)
+
+
+# -- opt-in bf16-packed dye core (config.fast_dye) -----------------------------
+
+
+def _assert_packed_close(pk, f32, atol=8e-3):
+    """Fast-mode comparison contract: close everywhere EXCEPT the
+    reference's extrapolation-undershoot saturation cells (f32 acc < 0 ->
+    pow NaN -> fmin 1.0), which the packed core deliberately clamps to ~0
+    instead (see _advect_core_packed) — those must be exactly the cells
+    where f32 == 1.0 while packed is small, and they must be rare."""
+    diff = np.abs(pk - f32)
+    bad = diff > atol
+    assert (f32[bad] == 1.0).all() and (pk[bad] < 0.05).all(), (
+        f32[bad], pk[bad])
+    assert bad.mean() < 0.01, bad.mean()
+
+
+def test_packed_dye_accuracy_and_ch2_exact(rng):
+    """packed=True: bf16 tap storage for channels 0/1 (max err ~5e-3 on
+    [0,1] dye), channel 2 full precision (only the undershoot clamp can
+    make it differ)."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    f32 = np.asarray(ap.advect_dye(dye, u, v, dt, 1.2))
+    pk = np.asarray(ap.advect_dye(dye, u, v, dt, 1.2, packed=True))
+    _assert_packed_close(pk, f32)
+    _assert_packed_close(pk[2], f32[2], atol=1e-6)  # ch2 taps stay f32
+    assert np.abs(pk[:2] - f32[:2]).max() > 1e-5  # really took the bf16 path
+
+
+def test_packed_dye_quiet_flow_stays_exact(rng):
+    """The quiet fast path stays exact f32 even with packed=True — fast-dye
+    error only arises where the flow is fast."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 0.5
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 0.5
+    dye = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    assert bool(ap._fast_path_ok(u, v, dt))
+    pk = np.asarray(ap.advect_dye(dye, u, v, dt, 1.2, packed=True))
+    exp = np.asarray(ref.advect_dye(dye, u, v, dt, 1.2))
+    np.testing.assert_allclose(pk, exp, atol=1e-4)
+    f32 = np.asarray(ap.advect_dye(dye, u, v, dt, 1.2))
+    np.testing.assert_array_equal(pk, f32)
+
+
+def test_packed_dye_tiled_path(rng):
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    h, w = 64, 512
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+    dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    pk = np.asarray(ap._advect_tiled(dye, u, v, dt, 1.2, "dye", 15, 0, h,
+                                     0, w, (128, 128, 4, 32, 3), None,
+                                     False, True))
+    exp = np.asarray(ref.advect_dye(dye, u, v, dt, 1.2))
+    _assert_packed_close(pk, exp)
+
+
+def test_packed_falls_back_to_f32_when_channels_split(rng):
+    """cb < c (one-channel-per-program geometry): packing is impossible, the
+    dynamic f32 core must silently serve the call (exact output)."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    h, w, d = 64, 128, 15
+    hd = ap._halo(d)
+    # pick a budget where the 3-channel footprint forces cb=1
+    old = ap._VMEM_BUDGET
+    try:
+        ap._VMEM_BUDGET = ap._footprint(hd, w, 1, hd) + 4096
+        geo = ap._pad_geometry(h, w, 3, hd)
+        assert geo[3] == 1, geo  # cb=1: channels split across programs
+        u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+        v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+        dye = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+        import jax as _jax
+        _jax.clear_caches()  # geometry depends on the module global
+        pk = np.asarray(ap.advect_dye(dye, u, v, dt, 1.2, packed=True))
+        exp = np.asarray(ref.advect_dye(dye, u, v, dt, 1.2))
+        np.testing.assert_allclose(pk, exp, atol=1e-4)
+    finally:
+        ap._VMEM_BUDGET = old
+        import jax as _jax
+        _jax.clear_caches()
+
+
+def test_fast_dye_config_plumbs_to_override():
+    from cudafluidsimulation_tpu.config import FluidConfig
+    from cudafluidsimulation_tpu.ops import pallas_kernels
+
+    cfg = FluidConfig(nx=256, ny=256, backend="pallas", fast_dye=True)
+    ov = pallas_kernels.overrides(cfg)
+    assert ov["advect_dye"].keywords.get("packed") is True
+    cfg2 = FluidConfig(nx=256, ny=256, backend="pallas")
+    assert pallas_kernels.overrides(cfg2)["advect_dye"].keywords.get(
+        "packed") is False
