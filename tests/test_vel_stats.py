@@ -189,7 +189,11 @@ def test_checkpoint_roundtrip_and_legacy_load(tmp_path):
 
 # -- sharded meshes ------------------------------------------------------------
 
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
+
+@requires_multidevice
 def test_rows_mesh_vel_stats_replicated_and_valid():
     from cudafluidsimulation_tpu.parallel.sharded import make_mesh, shard_state
     from cudafluidsimulation_tpu.parallel.shardmap_step import make_shardmap_step
@@ -209,6 +213,7 @@ def test_rows_mesh_vel_stats_replicated_and_valid():
     np.testing.assert_allclose(st, true, rtol=1e-5)
 
 
+@requires_multidevice
 def test_2d_mesh_vel_stats_replicated_and_valid():
     from jax.sharding import Mesh
     from cudafluidsimulation_tpu.parallel.shardmap2d import (
