@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "flows (quiet steps stay exact f32); velocity and "
                    "pressure are unaffected.  Off by default — reference "
                    "parity requires f32 dye")
+    p.add_argument("--fast-vel", action="store_true",
+                   help="bf16-packed velocity advection (pallas backend): "
+                   "both advected channels pack into one i32 plane — half "
+                   "the roll volume — for ~2^-9 relative tap error that "
+                   "feeds back through self-advection (quiet steps stay "
+                   "exact f32).  Off by default — reference parity "
+                   "requires f32 velocity")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--impulse-file", default="",
                    help="JSON impulse script ([x,y,pressed] per step or "
@@ -266,6 +273,8 @@ def main(argv=None) -> int:
         overrides["max_displacement"] = args.max_displacement
     if args.fast_dye:
         overrides["fast_dye"] = True
+    if args.fast_vel:
+        overrides["fast_velocity"] = True
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 

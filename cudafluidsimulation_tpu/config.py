@@ -137,6 +137,15 @@ class FluidConfig:
     # parity requires f32 dye.  See ops/advect_pallas._advect_core_packed.
     fast_dye: bool = False
 
+    # Opt-in bf16-packed velocity advection (pallas backend): both advected
+    # channels ARE (u, v) so they pack into ONE i32 plane — half the
+    # dynamic-window roll volume.  bf16 tap storage (~2^-9 relative) feeds
+    # back through self-advection, so long rollouts decorrelate from the
+    # f32 trajectory; quiet steps stay exact via the f32 fast path.  Off by
+    # default — parity requires f32 velocity.  See
+    # ops/advect_pallas._advect_core_packed_vel.
+    fast_velocity: bool = False
+
     def __post_init__(self):
         if self.variant not in ("cpu", "gpu"):
             raise ValueError(f"variant must be 'cpu' or 'gpu', got {self.variant!r}")

@@ -241,6 +241,69 @@ def _advect_core_packed(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
     return _finish(jnp.maximum(acc, 0.0), mode, decay_rate, dt)
 
 
+def _advect_core_packed_vel(dt, y0, x0, u, v, ext, *, mode, decay_rate,
+                            h_phys, w_phys, r, hd, d, d_x, c, wt):
+    """Opt-in bf16-packed VELOCITY core (config.fast_velocity): the two
+    advected channels ARE (u, v), so both bf16-pack into ONE i32 plane
+    (u = top 16 f32 bits with +0x8000 rounding, v = bottom 16) and every
+    roll of the dynamic-window loop moves a (1, he, wext) stack instead of
+    (2, he, wext) f32 — HALF the roll volume for the op class that measured
+    49% of the advect kernels (scripts/roll_share_probe.py).  Same tap set,
+    windows and weights as :func:`_advect_core`; taps unpack with
+    mask/shift + bitcast and accumulate in f32.
+
+    Accuracy: bf16 storage of the TAP values only (~2^-9 relative);
+    weights, positions and accumulation stay f32, and mode "field" has no
+    pow/NaN saturation quirk, so no clamp is needed (unlike the packed dye
+    core).  The error feeds back through self-advection, so long chaotic
+    rollouts decorrelate from the f32 trajectory — opt-in only; quiet
+    steps stay exact via the static f32 fast path.  Requires mode "field"
+    and both channels in one program (cb == 2)."""
+    assert mode == "field" and c == 2
+    he = r + 2 * hd
+    wext = ext.shape[2]
+    wd = (wext - wt) // 2
+
+    tx, ty, dx1, dx2, dy1, dy2 = _tap_setup(
+        dt, y0, x0, u, v, h_phys=h_phys, w_phys=w_phys, r=r, d=d, d_x=d_x,
+        wt=wt)
+    dylo = jnp.minimum(jnp.min(dy1), jnp.min(dy2))
+    dyhi = jnp.maximum(jnp.max(dy1), jnp.max(dy2))
+
+    m = jnp.int32(-65536)  # 0xFFFF0000
+    b0 = pltpu.bitcast(ext[0], jnp.int32)
+    b1 = pltpu.bitcast(ext[1], jnp.int32)
+    pext = (((b0 + 0x8000) & m)
+            | jax.lax.shift_right_logical(b1 + 0x8000, 16))[None]
+
+    def dy_body(dy, acc):
+        wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+              + jnp.where(dy2 == dy, ty, 0.0))
+        active = (dy1 == dy) | (dy2 == dy)
+        dxlo = jnp.min(jnp.where(active, dx1, d_x))
+        dxhi = jnp.max(jnp.where(active, dx2, -d_x))
+        core = pltpu.roll(pext, jnp.mod(he - dy, he),
+                          axis=1)[:, hd:hd + r, :]
+
+        def dx_body(dx, carry):
+            acc, rcur = carry
+            wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                  + jnp.where(dx2 == dx, tx, 0.0))
+            w = (wx * wy)[None]
+            c0 = pltpu.bitcast(rcur[0] & m, jnp.float32)
+            c1 = pltpu.bitcast(rcur[0] << 16, jnp.float32)
+            vals = jnp.stack([c0, c1])[:, :, :wt]
+            return acc + w * vals, pltpu.roll(rcur, wext - 1, axis=2)
+
+        r0 = pltpu.roll(core, jnp.mod(wext - wd - dxlo, wext), axis=2)
+        acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
+        return acc
+
+    acc = jax.lax.fori_loop(dylo, dyhi + 1, dy_body,
+                            jnp.zeros((c, r, wt), jnp.float32))
+    return _finish(acc, mode, decay_rate, dt)
+
+
 def _advect_core_static(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
                         w_phys, r, hd, d, d_x, c, wt):
     """±1-window fast path: computes the SAME tap set and weights as
@@ -276,6 +339,19 @@ def _advect_core_static(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys,
                                     axis=2))
             acc = acc + (wx * wy)[None] * cols[:, :, :wt]
     return _finish(acc, mode, decay_rate, dt)
+
+
+def _packed_core(mode, packed, cb, c):
+    """Resolve the opt-in bf16-packed DYNAMIC core for this geometry, or
+    None for the exact f32 core.  Packing needs all channels in one program
+    (cb == c); geometries that split channels silently fall back to f32."""
+    if not packed or cb != c:
+        return None
+    if mode == "dye" and c == 3:
+        return _advect_core_packed
+    if mode == "field" and c == 2:
+        return _advect_core_packed_vel
+    return None
 
 
 def _fast_path_ok(u, v, dt, vel_stats=None):
@@ -603,8 +679,7 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
 
     # the opt-in bf16-packed dye core replaces the DYNAMIC core only (the
     # quiet fast path stays exact f32); needs all channels in one program
-    dyn = (_advect_core_packed if packed and mode == "dye" and cb == c
-           else None)
+    dyn = _packed_core(mode, packed, cb, c)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
     if _FAST_PATH:
         # runtime dual path: quiet steps (realized displacement < 1 cell on
@@ -709,8 +784,7 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
         return lambda a: call(a[0], a[1], a[2], a[3], a[4],
                               *([a[5]] * 9))
 
-    dyn = (_advect_core_packed if packed and mode == "dye" and cb == c
-           else None)
+    dyn = _packed_core(mode, packed, cb, c)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
     if _FAST_PATH:
         res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
@@ -724,18 +798,20 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
 
 
 def advect_velocity(u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
-                    return_stats: bool = False):
+                    return_stats: bool = False, packed: bool = False):
     """Self-advection (GPUFluidSim.cu:258-272 semantics, clean double-buffer
     reads like the CPU path).  ``vel_stats``/``return_stats``: the
     producer-emitted velocity-bound contract (ops.ref.vel_max) — the
     channels of mode "field" ARE (u, v), so the emitted output stats are
-    exactly [max|u'|, max|v'|]."""
+    exactly [max|u'|, max|v'|].  ``packed``: opt-in bf16-packed fast mode
+    (config.fast_velocity) — see :func:`_advect_core_packed_vel`."""
     if return_stats:
         uv, st = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate),
-                        "field", d, vel_stats=vel_stats, return_stats=True)
+                        "field", d, vel_stats=vel_stats, return_stats=True,
+                        packed=packed)
         return uv[0], uv[1], st
     uv = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate), "field", d,
-                vel_stats=vel_stats)
+                vel_stats=vel_stats, packed=packed)
     return uv[0], uv[1]
 
 

@@ -100,7 +100,8 @@ def overrides(config: FluidConfig) -> dict:
     # before failing, so this split rarely matters — but never wrongly
     # disables the cheaper op)
     if advect_pallas.supported(config.ny, config.nx, 2, d):
-        out["advect_velocity"] = functools.partial(advect_pallas.advect_velocity, d=d)
+        out["advect_velocity"] = functools.partial(
+            advect_pallas.advect_velocity, d=d, packed=config.fast_velocity)
     if advect_pallas.supported(config.ny, config.nx, 3, d):
         out["advect_dye"] = functools.partial(
             advect_pallas.advect_dye, d=d, packed=config.fast_dye)

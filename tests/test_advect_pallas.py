@@ -458,3 +458,83 @@ def test_fast_dye_config_plumbs_to_override():
     cfg2 = FluidConfig(nx=256, ny=256, backend="pallas")
     assert pallas_kernels.overrides(cfg2)["advect_dye"].keywords.get(
         "packed") is False
+
+
+# -- opt-in bf16-packed velocity core (config.fast_velocity) -------------------
+
+
+def test_packed_velocity_accuracy(rng):
+    """packed=True on mode 'field': bf16 tap storage for BOTH channels —
+    error bounded by ~2^-8 of the tap magnitude, no saturation quirks
+    (mode 'field' has no pow/NaN path, unlike packed dye)."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    f32 = np.stack(ap.advect_velocity(u, v, dt, 0.8))
+    pk = np.stack(ap.advect_velocity(u, v, dt, 0.8, packed=True))
+    scale = np.abs(f32).max()
+    assert np.abs(pk - f32).max() < 2 ** -8 * scale * 1.5
+    assert np.abs(pk - f32).max() > 1e-5  # really took the bf16 path
+
+
+def test_packed_velocity_quiet_flow_stays_exact(rng):
+    """Quiet steps dispatch to the static f32 fast path even with
+    packed=True — fast-velocity error only arises where the flow is fast."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 0.5
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 0.5
+    assert bool(ap._fast_path_ok(u, v, dt))
+    pk = np.stack(ap.advect_velocity(u, v, dt, 0.8, packed=True))
+    f32 = np.stack(ap.advect_velocity(u, v, dt, 0.8))
+    np.testing.assert_array_equal(pk, f32)
+    exp = np.stack(ref.advect_velocity(u, v, dt, 0.8))
+    np.testing.assert_allclose(pk, exp, atol=1e-5)
+
+
+def test_packed_velocity_return_stats(rng):
+    """The producer-emitted output velocity bound stays truthful for the
+    packed core (stats are computed from the WRITTEN output blocks)."""
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    u = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    v = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32)) * 8
+    u2, v2, st = ap.advect_velocity(u, v, dt, 0.8, packed=True,
+                                    return_stats=True)
+    assert float(st[0]) >= float(jnp.max(jnp.abs(u2)))
+    assert float(st[1]) >= float(jnp.max(jnp.abs(v2)))
+
+
+def test_packed_velocity_tiled_path(rng):
+    from cudafluidsimulation_tpu.ops import advect_pallas as ap
+
+    dt = 0.25
+    h, w = 64, 512
+    u = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+    v = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 8
+    uv = jnp.stack([u, v])
+    pk = np.asarray(ap._advect_tiled(uv, u, v, dt, 0.8, "field", 15, 0, h,
+                                     0, w, (128, 128, 4, 32, 2), None,
+                                     False, True))
+    f32 = np.asarray(ap._advect_tiled(uv, u, v, dt, 0.8, "field", 15, 0, h,
+                                      0, w, (128, 128, 4, 32, 2), None,
+                                      False, False))
+    scale = np.abs(f32).max()
+    assert np.abs(pk - f32).max() < 2 ** -8 * scale * 1.5
+    assert np.abs(pk - f32).max() > 1e-5
+
+
+def test_fast_velocity_config_plumbs_to_override():
+    from cudafluidsimulation_tpu.config import FluidConfig
+    from cudafluidsimulation_tpu.ops import pallas_kernels
+
+    cfg = FluidConfig(nx=256, ny=256, backend="pallas", fast_velocity=True)
+    ov = pallas_kernels.overrides(cfg)
+    assert ov["advect_velocity"].keywords.get("packed") is True
+    cfg2 = FluidConfig(nx=256, ny=256, backend="pallas")
+    assert pallas_kernels.overrides(cfg2)["advect_velocity"].keywords.get(
+        "packed") is False
