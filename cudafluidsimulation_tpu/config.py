@@ -146,6 +146,16 @@ class FluidConfig:
     # ops/advect_pallas._advect_core_packed_vel.
     fast_velocity: bool = False
 
+    # Runtime dual-path advection dispatch (pallas backend): a lax.cond
+    # routes quiet steps (realized |v|·dt < 1 on both axes) to a fully
+    # static ±1-window core that runs at the DMA floor (960x540 quiet
+    # 2.38 -> 0.58 ms/step; exactness-gated, ≤1 ulp vs the dynamic core).
+    # Both branches always compile; under vmap (ensembles) the cond lowers
+    # to a both-sides select whose static side costs ~3% — set False for
+    # always-driven ensembles to reclaim it.  See
+    # ops/advect_pallas._advect_core_static and scripts/fastpath_ab.py.
+    advect_fast_path: bool = True
+
     def __post_init__(self):
         if self.variant not in ("cpu", "gpu"):
             raise ValueError(f"variant must be 'cpu' or 'gpu', got {self.variant!r}")

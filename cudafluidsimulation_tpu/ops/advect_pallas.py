@@ -442,12 +442,13 @@ def _halo(d: int) -> int:
 # scripts can sweep it — see scripts/advect_probe2.py and docs/ROADMAP.md.
 _VMEM_BUDGET = 10 * 1024 * 1024
 
-# Runtime dual-path dispatch (lax.cond) to the static ±1-window core on
-# quiet steps.  Module global so probes/tests can pin one path; both
-# branches compile either way (the jaxpr carries two pallas_calls per
-# advect, and vmapped ensembles execute both sides of the select — the
-# static side is ~3% of the dynamic side's cost).
-_FAST_PATH = True
+# The runtime dual-path dispatch (lax.cond) to the static ±1-window core on
+# quiet steps is controlled by the ``fast_path`` argument of :func:`advect`
+# (config field ``advect_fast_path``, default on).  Both branches compile
+# either way (the jaxpr carries two pallas_calls per advect), and vmapped
+# ensembles lower the cond to a both-sides select — the static side costs
+# ~3% of the dynamic side (measured, BASELINE.md ensemble row), which
+# ``advect_fast_path=False`` reclaims for always-driven ensembles.
 
 
 def _footprint(r: int, w: int, c: int, hd: int, wt: int = 0) -> int:
@@ -582,12 +583,13 @@ def uses_column_tiling(h: int, w: int, c: int, d: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("decay_rate", "mode", "d",
                                              "h_phys", "w_phys", "d_x",
-                                             "return_stats", "packed"))
+                                             "return_stats", "packed",
+                                             "fast_path"))
 def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
            decay_rate: float, mode: str = "field", d: int = 15,
            y0=0, h_phys: int = 0, x0=0, w_phys: int = 0,
            d_x: int = 0, vel_stats=None, return_stats: bool = False,
-           packed: bool = False):
+           packed: bool = False, fast_path: bool = True):
     """Advect (C, H, W) ``fields`` through velocity (u, v) with the
     reference's decay semantics.  mode "dye" applies the
     min(1, c^1.005 * decay) fade (GPUFluidSim.cu:288-290).
@@ -607,21 +609,23 @@ def advect(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, dt,
     "field" advects the velocity itself), emitted per-program from blocks
     already resident in VMEM, so the next consumer's predicate costs no
     HBM reads; pad rows/cols are included, which can only over-estimate
-    (pad outputs are convex blends of physical values)."""
+    (pad outputs are convex blends of physical values).
+    ``fast_path``: the lax.cond dual dispatch to the static ±1 core on quiet
+    steps (config.advect_fast_path); False pins the dynamic core."""
     c, h, w = fields.shape
     plan = _tile_plan(h, w, c, d) if d_x == 0 else None
     if plan is not None:
         return _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
                              y0, h_phys or h, x0, w_phys or w, plan,
-                             vel_stats, return_stats, packed)
+                             vel_stats, return_stats, packed, fast_path)
     return _advect_flat(fields, u, v, dt, decay_rate, mode, d, y0,
                         h_phys or h, x0, w_phys or w, d_x,
-                        vel_stats, return_stats, packed)
+                        vel_stats, return_stats, packed, fast_path)
 
 
 def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
                  y0, h_phys, x0, w_phys, d_x, vel_stats=None,
-                 return_stats=False, packed=False):
+                 return_stats=False, packed=False, fast_path=True):
     c, h, w = fields.shape
     hd = _halo(d)
     hp, wp, r, cb = _pad_geometry(h, w, c, hd)
@@ -681,7 +685,7 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
     # quiet fast path stays exact f32); needs all channels in one program
     dyn = _packed_core(mode, packed, cb, c)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
-    if _FAST_PATH:
+    if fast_path:
         # runtime dual path: quiet steps (realized displacement < 1 cell on
         # both axes) take the static ±1 core, which runs at the DMA floor
         res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
@@ -696,7 +700,7 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
 
 def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
                   y0, h_phys, x0, w_phys, plan, vel_stats=None,
-                  return_stats=False, packed=False):
+                  return_stats=False, packed=False, fast_path=True):
     """One (channels, strips, tiles) launch over 3x3 halo-block inputs."""
     c, h, w = fields.shape
     hd = _halo(d)
@@ -786,7 +790,7 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
 
     dyn = _packed_core(mode, packed, cb, c)
     args = (dt_arr, y0_arr, x0_arr, u_in, v_in, fields_in)
-    if _FAST_PATH:
+    if fast_path:
         res = jax.lax.cond(_fast_path_ok(u_in, v_in, dt, vel_stats),
                            launch(_advect_core_static), launch(dyn), args)
     else:
@@ -798,7 +802,8 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
 
 
 def advect_velocity(u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
-                    return_stats: bool = False, packed: bool = False):
+                    return_stats: bool = False, packed: bool = False,
+                    fast_path: bool = True):
     """Self-advection (GPUFluidSim.cu:258-272 semantics, clean double-buffer
     reads like the CPU path).  ``vel_stats``/``return_stats``: the
     producer-emitted velocity-bound contract (ops.ref.vel_max) — the
@@ -808,18 +813,18 @@ def advect_velocity(u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
     if return_stats:
         uv, st = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate),
                         "field", d, vel_stats=vel_stats, return_stats=True,
-                        packed=packed)
+                        packed=packed, fast_path=fast_path)
         return uv[0], uv[1], st
     uv = advect(jnp.stack([u, v]), u, v, dt, float(decay_rate), "field", d,
-                vel_stats=vel_stats, packed=packed)
+                vel_stats=vel_stats, packed=packed, fast_path=fast_path)
     return uv[0], uv[1]
 
 
 def advect_dye(dye, u, v, dt, decay_rate, d: int = 15, *, vel_stats=None,
-               packed: bool = False):
+               packed: bool = False, fast_path: bool = True):
     """Dye advection + fade (GPUFluidSim.cu:275-294); callers pass the
     already-advected velocity, matching both reference step orders.
     ``packed``: opt-in bf16-packed fast mode (config.fast_dye) — see
     :func:`_advect_core_packed` for the accuracy/perf contract."""
     return advect(dye, u, v, dt, float(decay_rate), "dye", d,
-                  vel_stats=vel_stats, packed=packed)
+                  vel_stats=vel_stats, packed=packed, fast_path=fast_path)

@@ -101,8 +101,10 @@ def overrides(config: FluidConfig) -> dict:
     # disables the cheaper op)
     if advect_pallas.supported(config.ny, config.nx, 2, d):
         out["advect_velocity"] = functools.partial(
-            advect_pallas.advect_velocity, d=d, packed=config.fast_velocity)
+            advect_pallas.advect_velocity, d=d, packed=config.fast_velocity,
+            fast_path=config.advect_fast_path)
     if advect_pallas.supported(config.ny, config.nx, 3, d):
         out["advect_dye"] = functools.partial(
-            advect_pallas.advect_dye, d=d, packed=config.fast_dye)
+            advect_pallas.advect_dye, d=d, packed=config.fast_dye,
+            fast_path=config.advect_fast_path)
     return out

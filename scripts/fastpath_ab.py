@@ -1,5 +1,5 @@
 """Full-step A/B: the quiet static ±1-window advect fast path (lax.cond
-dual dispatch, advect_pallas._FAST_PATH) vs dynamic-window-only.
+dual dispatch, config.advect_fast_path) vs dynamic-window-only.
 
 The anatomy probe (scripts/advect_anatomy_probe.py) measured the dynamic
 core's reduction→scalar stalls at ~1.1 ms per advect at 960x540 on QUIET
@@ -19,16 +19,15 @@ sys.path.insert(0, ".")
 import jax  # noqa: E402
 
 from cudafluidsimulation_tpu import FluidConfig, Simulation  # noqa: E402
-from cudafluidsimulation_tpu.ops import advect_pallas as ap  # noqa: E402
 from cudafluidsimulation_tpu.utils.impulse import (  # noqa: E402
     no_impulse, orbit_impulse)
 
 
 def step_ms(nx, ny, fast, driven, n_short=20, n_long=60):
     jax.clear_caches()
-    ap._FAST_PATH = fast
     try:
-        cfg = FluidConfig.gpu_reference(nx=nx, ny=ny, backend="auto")
+        cfg = FluidConfig.gpu_reference(nx=nx, ny=ny, backend="auto",
+                                        advect_fast_path=fast)
         sim = Simulation(cfg)
         st = sim.init()
 
@@ -57,7 +56,6 @@ def step_ms(nx, ny, fast, driven, n_short=20, n_long=60):
 
         return (t(long_) - t(short)) / (n_long - n_short) * 1e3
     finally:
-        ap._FAST_PATH = True
         jax.clear_caches()
 
 

@@ -237,16 +237,7 @@ def test_tiled_full_dispatch_equivalence(rng):
 
 def _with_dynamic_core(fn, *args, **kw):
     """Run ``fn`` with the lax.cond fast path disabled (dynamic core only)."""
-    import jax
-    from cudafluidsimulation_tpu.ops import advect_pallas as ap
-
-    ap._FAST_PATH = False
-    jax.clear_caches()
-    try:
-        return np.asarray(fn(*args, **kw))
-    finally:
-        ap._FAST_PATH = True
-        jax.clear_caches()
+    return np.asarray(fn(*args, fast_path=False, **kw))
 
 
 def test_fast_path_predicate_boundary():
