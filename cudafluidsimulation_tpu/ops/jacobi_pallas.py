@@ -711,6 +711,107 @@ def pressure_solve(div: jnp.ndarray, iters: int, *, block_rows: int = 256,
 
 
 # ---------------------------------------------------------------------------
+# Damped-Jacobi burst smoother — the multigrid fine-level workhorse
+# (ops/multigrid.default_smooth as trapezoid burst kernels).  The scan form
+# pays ~5 HBM-bound XLA passes per sweep; a k-sweep burst reads p and rhs
+# once and writes p once.  Same exactness machinery as the pressure solver:
+# k <= hd halo, mirror Neumann ghosts, strip interior bit-exact global
+# damped Jacobi (the damped update is symmetric, so the even-reflection
+# invariance argument in the module docstring carries over unchanged).
+# ---------------------------------------------------------------------------
+
+
+def _smooth_kernel(p_mid, p_lo, p_hi, r_mid, r_lo, r_hi, out, *, k, hd,
+                   n_strips, omega):
+    i = pl.program_id(1)
+    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+    re = jnp.concatenate([r_lo[0], r_mid[0], r_hi[0]], axis=0)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    re = _edge_fill(re, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = pe + omega * ((l + r + b + t + re) * 0.25 - pe)
+    out[0] = pe[hd:-hd, :]
+
+
+def _smooth_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
+                         p_br, r_mm, r_ml, r_mr, r_tm, r_tl, r_tr, r_bm,
+                         r_bl, r_br, out, *, k, hd, n_strips, t_cnt, wd,
+                         omega):
+    i = pl.program_id(1)
+    ti = pl.program_id(2)
+    pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl, p_br,
+                       ti, t_cnt, hd)
+    re = _assemble_ext(r_mm, r_ml, r_mr, r_tm, r_tl, r_tr, r_bm, r_bl, r_br,
+                       ti, t_cnt, hd)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    re = _edge_fill(re, i, n_strips, hd)
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = pe + omega * ((l + r + b + t + re) * 0.25 - pe)
+    out[0] = pe[hd:-hd, wd:-wd]
+
+
+def _smooth_burst_tiled(p, rhs, k: int, hd: int, h: int, w: int,
+                        omega: float, plan):
+    wt, wd, t_cnt, r = plan
+    unpad, halo, out = _tiled_specs(h, w, r, hd, wt, wd)
+    kern = functools.partial(_smooth_kernel_tiled, k=k, hd=hd,
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd,
+                             omega=omega)
+    specs = [unpad["mm"], halo["ml"], halo["mr"], unpad["tm"],
+             halo["tl"], halo["tr"], unpad["bm"], halo["bl"],
+             halo["br"]]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        grid=(1, h // r, t_cnt),
+        in_specs=specs + specs,
+        out_specs=out,
+        interpret=_interpret(),
+    )(p, p, p, p, p, p, p, p, p,
+      rhs, rhs, rhs, rhs, rhs, rhs, rhs, rhs, rhs)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "block_rows",
+                                             "burst"))
+def smooth_damped(p: jnp.ndarray, rhs: jnp.ndarray, sweeps: int,
+                  omega: float = 0.8, *, block_rows: int = 256,
+                  burst: int = 8) -> jnp.ndarray:
+    """``sweeps`` exact damped-Jacobi sweeps
+    ``p += omega * ((l + r + b + t + rhs) / 4 - p)`` on the clamped/Neumann
+    5-point system — matches ops/multigrid.make_vcycle's default_smooth
+    term-for-term (same association), so results agree to f32 edge-row
+    association (<= 1 ulp)."""
+    h, w = p.shape
+    if sweeps == 0:
+        return p
+    pp = p[None]
+    rr = rhs[None]
+    for k, r, hd, hp, wp in _burst_schedule(sweeps, burst, h, w, block_rows):
+        pi = _mirror_pad(pp, h, w, hp, wp)
+        ri = _mirror_pad(rr, h, w, hp, wp)
+        plan = _col_plan(hp, wp, hd, block_rows)
+        if plan is not None:
+            pp = _smooth_burst_tiled(pi, ri, k, hd, hp, wp, omega,
+                                     plan)[:, :h, :w]
+            continue
+        mid, lo, hi, n_strips = _strip_specs(hp, wp, r, hd)
+        kern = functools.partial(_smooth_kernel, k=k, hd=hd,
+                                 n_strips=n_strips, omega=omega)
+        pp = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
+            grid=(1, n_strips),
+            in_specs=[mid, lo, hi, mid, lo, hi],
+            out_specs=pl.BlockSpec((1, r, wp), lambda c, i: (c, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(pi, pi, pi, ri, ri, ri)[:, :h, :w]
+    return pp[0]
+
+
+# ---------------------------------------------------------------------------
 # Fused divergence -> Jacobi -> project (saves the separate XLA divergence and
 # project passes: the first burst computes divergence from velocity strips in
 # VMEM, the last burst applies the pressure-gradient subtraction before

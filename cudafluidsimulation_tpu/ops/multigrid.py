@@ -145,6 +145,42 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
 
 _vcycle, _apply_a = make_vcycle(neighbors)
 
+# -- pallas burst smoothing (single-chip fast path) ---------------------------
+#
+# The default smoother above runs each sweep as ~5 HBM-bound XLA passes; on
+# big fine levels the burst kernel (jacobi_pallas.smooth_damped) runs all nu
+# sweeps per launch from one read of (p, rhs).  Small levels stay on the XLA
+# scan — tiny pallas launches measured slower than the scan they replace
+# (the round-3 nu=2 one-shot rejection); the threshold below is A/B-measured
+# at the whole-step level (scripts/mg_floor_probe.py).  Both smoothers are
+# the same arithmetic term-for-term, so solutions agree to f32 association.
+
+_BURST_SMOOTH_MIN_CELLS = 256 * 256
+
+
+def _burst_smooth_ok(h: int, w: int) -> bool:
+    return (h * w >= _BURST_SMOOTH_MIN_CELLS and w % 128 == 0
+            and h % 8 == 0)
+
+
+def _smooth_mixed(p, rhs, sweeps: int):
+    h, w = p.shape
+    if _burst_smooth_ok(h, w):
+        from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+        return jacobi_pallas.smooth_damped(p, rhs, sweeps, _OMEGA)
+
+    def sweep(p, _):
+        l, r, b, t = neighbors(p)
+        p_jac = 0.25 * (l + r + b + t + rhs)
+        return p + _OMEGA * (p_jac - p), None
+
+    p, _ = jax.lax.scan(sweep, p, None, length=sweeps)
+    return p
+
+
+_vcycle_pallas, _ = make_vcycle(neighbors, smooth_fn=_smooth_mixed)
+
 
 def run_cycles(vcycle, res_sq_fn, p, rhs, level, cycles, tol, max_cycles,
                nu1, nu2, coarse_sweeps):
@@ -180,15 +216,19 @@ def run_cycles(vcycle, res_sq_fn, p, rhs, level, cycles, tol, max_cycles,
 
 @functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2",
                                              "coarse_sweeps", "tol",
-                                             "max_cycles"))
+                                             "max_cycles", "smoother"))
 def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
                       coarse_sweeps: int = 20, tol: float = 0.0,
-                      max_cycles: int = 8):
+                      max_cycles: int = 8, smoother: str = "scan"):
     """Multigrid solve of the pressure system from p=0 (same system and
     start state as ops.ref.pressure_solve, far better converged).
 
     ``tol > 0`` switches from a fixed ``cycles`` count to residual-targeted
-    stopping: cycles run until rms(A p + div) < tol (cap ``max_cycles``)."""
+    stopping: cycles run until rms(A p + div) < tol (cap ``max_cycles``).
+
+    ``smoother="burst"`` smooths big levels with the pallas trapezoid-burst
+    kernel (jacobi_pallas.smooth_damped; same arithmetic as the scan —
+    the pallas backend's override selects it, the ref oracle stays jnp)."""
     h, w = div.shape
     lv = _levels(h, w)
     rhs = -div
@@ -197,7 +237,8 @@ def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
         r = _apply_a(p) - rhs
         return jnp.mean(r * r)
 
-    return run_cycles(_vcycle, res_sq, jnp.zeros_like(div), rhs, lv,
+    vc = _vcycle_pallas if smoother == "burst" else _vcycle
+    return run_cycles(vc, res_sq, jnp.zeros_like(div), rhs, lv,
                       cycles, tol, max_cycles, nu1, nu2, coarse_sweeps)
 
 

@@ -54,6 +54,13 @@ def overrides(config: FluidConfig) -> dict:
             block_rows=prs_rows,
             burst=prs_burst,
         )
+        from cudafluidsimulation_tpu.ops import multigrid
+
+        # multigrid fine-level smoothing as trapezoid bursts (big levels
+        # only — ops.multigrid._smooth_mixed gates; small levels keep the
+        # XLA scan that beat the rejected tiny-launch kernel)
+        out["pressure_solve_mg"] = functools.partial(
+            multigrid.pressure_solve_mg, smoother="burst")
         if jacobi_pallas.fusable(config.ny, config.nx, config.pressure_iters,
                                  prs_rows, prs_burst):
             out["pressure_project"] = functools.partial(
