@@ -56,9 +56,14 @@ def _neighbors_2d(ap):
 
 def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
                    d: int, use_pallas: bool = False,
-                   pallas_burst: int = 8) -> types.SimpleNamespace:
+                   pallas_burst: int = 8, packed_vel: bool = False,
+                   packed_dye: bool = False,
+                   fast_path: bool = True) -> types.SimpleNamespace:
     """Shard-local op API for a (rows x cols) spatial mesh (consumed by
-    models.pipelines.make_step, like parallel.shardmap_step.sharded_ops)."""
+    models.pipelines.make_step, like parallel.shardmap_step.sharded_ops).
+    ``packed_vel``/``packed_dye``/``fast_path`` thread config.fast_velocity /
+    fast_dye / advect_fast_path into the sharded advect kernels (see
+    shardmap_step.sharded_ops)."""
     ns = types.SimpleNamespace()
 
     def _bases(shape):
@@ -117,7 +122,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         return lax.pmax(lax.pmax(st, row_axis), col_axis)
 
     def _advect_pallas_2d(fields_p, up, vp, dt, decay_rate, mode,
-                          vel_stats=None):
+                          vel_stats=None, packed=False):
         from cudafluidsimulation_tpu.ops import advect_pallas
 
         hl = up.shape[0] - 2 * d
@@ -126,7 +131,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         out = advect_pallas.advect(
             fields_p, up, vp, dt, float(decay_rate), mode, d,
             y0=r0 - d, h_phys=h_global, x0=c0 - d, w_phys=w_global, d_x=d,
-            vel_stats=vel_stats)
+            vel_stats=vel_stats, packed=packed, fast_path=fast_path)
         return out[:, d:-d, d:-d]
 
     def advect_velocity(u, v, dt, decay_rate, vel_stats=None,
@@ -134,7 +139,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         if use_pallas:
             fp = _x2d(jnp.stack([u, v]), d)
             uv = _advect_pallas_2d(fp, fp[0], fp[1], dt, decay_rate, "field",
-                                   vel_stats=vel_stats)
+                                   vel_stats=vel_stats, packed=packed_vel)
         else:
             decay = 1.0 / (1.0 + decay_rate * dt)
             uv = _bilerp_2d(jnp.stack([u, v]), u, v, dt) * decay
@@ -147,7 +152,7 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             zpad = [(d, d), (d, d)]
             return _advect_pallas_2d(_x2d(dye, d), jnp.pad(u, zpad),
                                      jnp.pad(v, zpad), dt, decay_rate, "dye",
-                                     vel_stats=vel_stats)
+                                     vel_stats=vel_stats, packed=packed_dye)
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_2d(dye, u, v, dt)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
@@ -163,12 +168,13 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         zpad = [(d, d), (d, d)]
         if use_pallas:
             uv = _advect_pallas_2d(allp[:2], allp[0], allp[1], dt,
-                                   decay_rate, "field", vel_stats=vel_stats)
+                                   decay_rate, "field", vel_stats=vel_stats,
+                                   packed=packed_vel)
             u2, v2 = uv[0], uv[1]
             st = _vmax_repl(u2, v2) if return_stats else None
             dye2 = _advect_pallas_2d(allp[2:], jnp.pad(u2, zpad),
                                      jnp.pad(v2, zpad), dt, decay_rate,
-                                     "dye", vel_stats=st)
+                                     "dye", vel_stats=st, packed=packed_dye)
             if return_stats:
                 return u2, v2, dye2, st
             return u2, v2, dye2
@@ -562,6 +568,9 @@ def _local_ops_2d(config: FluidConfig, mesh: Mesh):
         "rows", "cols", config.ny, config.nx, d,
         use_pallas=use_pallas,
         pallas_burst=min(config.jacobi_burst, hl, wl),
+        packed_vel=config.fast_velocity,
+        packed_dye=config.fast_dye,
+        fast_path=config.advect_fast_path,
     )
 
 

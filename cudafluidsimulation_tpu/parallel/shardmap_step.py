@@ -82,12 +82,18 @@ def _bilerp_padded(fp, u, v, dt, h_global, d, axis_name):
 
 def sharded_ops(axis_name: str, h_global: int, d: int,
                 use_pallas: bool = False,
-                pallas_burst: int = 8) -> types.SimpleNamespace:
+                pallas_burst: int = 8, packed_vel: bool = False,
+                packed_dye: bool = False,
+                fast_path: bool = True) -> types.SimpleNamespace:
     """Shard-local implementation of the op API consumed by make_step.
 
     With ``use_pallas`` the Jacobi stages run the single-chip burst kernels
     per shard, exchanging a k-deep halo over ICI once per k sweeps instead of
-    every sweep (see _pallas_jacobi_bursts for the exactness argument)."""
+    every sweep (see _pallas_jacobi_bursts for the exactness argument).
+    ``packed_vel``/``packed_dye``/``fast_path`` thread the single-chip advect
+    kernel options (config.fast_velocity / fast_dye / advect_fast_path) into
+    the sharded advections — without this the fast flags would silently
+    no-op on multi-chip runs (round-3 advisor finding)."""
     ns = types.SimpleNamespace()
 
     def _vmax_repl(u2, v2):
@@ -99,7 +105,7 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         return lax.pmax(st, axis_name)
 
     def _advect_pallas_local(fields, up, vp, dt, decay_rate, mode,
-                             vel_stats=None):
+                             vel_stats=None, packed=False):
         """Run the single-chip pallas advect kernel on the d-halo-padded
         local view: the kernel clamps taps against the GLOBAL domain via the
         y0/h_phys offsets, so padded rows (sliced off afterwards) only waste
@@ -112,7 +118,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         g0 = lax.axis_index(axis_name) * hl - d  # global row of padded row 0
         out = advect_pallas.advect(fp, up, vp, dt, float(decay_rate), mode,
                                    d, y0=g0, h_phys=h_global,
-                                   vel_stats=vel_stats)
+                                   vel_stats=vel_stats, packed=packed,
+                                   fast_path=fast_path)
         return out[:, d:-d, :]
 
     def advect_velocity(u, v, dt, decay_rate, vel_stats=None,
@@ -128,7 +135,9 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             out = advect_pallas.advect(fp, fp[0], fp[1], dt,
                                        float(decay_rate), "field", d,
                                        y0=g0, h_phys=h_global,
-                                       vel_stats=vel_stats)
+                                       vel_stats=vel_stats,
+                                       packed=packed_vel,
+                                       fast_path=fast_path)
             uv = out[:, d:-d, :]
         else:
             # one stacked sample: a single d-row halo exchange and one set
@@ -145,7 +154,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             zpad = [(d, d), (0, 0)]
             return _advect_pallas_local(dye, jnp.pad(u, zpad), jnp.pad(v, zpad),
                                         dt, decay_rate, "dye",
-                                        vel_stats=vel_stats)
+                                        vel_stats=vel_stats,
+                                        packed=packed_dye)
         decay = 1.0 / (1.0 + decay_rate * dt)
         c = _bilerp_sharded(dye, u, v, dt, h_global, d, axis_name)
         return jnp.fmin(1.0, jnp.power(c, 1.005) * decay)
@@ -169,7 +179,9 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             uv = advect_pallas.advect(allp[:2], allp[0], allp[1], dt,
                                       float(decay_rate), "field", d,
                                       y0=g0, h_phys=h_global,
-                                      vel_stats=vel_stats)[:, d:-d, :]
+                                      vel_stats=vel_stats,
+                                      packed=packed_vel,
+                                      fast_path=fast_path)[:, d:-d, :]
             u2, v2 = uv[0], uv[1]
             st = _vmax_repl(u2, v2) if return_stats else None
             zpad = [(d, d), (0, 0)]
@@ -177,7 +189,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
                                         jnp.pad(v2, zpad), dt,
                                         float(decay_rate), "dye", d,
                                         y0=g0, h_phys=h_global,
-                                        vel_stats=st)[:, d:-d, :]
+                                        vel_stats=st, packed=packed_dye,
+                                        fast_path=fast_path)[:, d:-d, :]
             if return_stats:
                 return u2, v2, dye2, st
             return u2, v2, dye2
@@ -604,6 +617,9 @@ def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
         axis_name, config.ny, config.max_displacement,
         use_pallas=use_pallas,
         pallas_burst=min(config.jacobi_burst, hl),
+        packed_vel=config.fast_velocity,
+        packed_dye=config.fast_dye,
+        fast_path=config.advect_fast_path,
     )
 
 
