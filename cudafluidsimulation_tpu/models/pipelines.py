@@ -136,11 +136,20 @@ def make_step(config: FluidConfig, ops=None) -> StepFn:
         # -- pressure projection (the step's final velocity producer: its
         #    kernels emit next step's vel_stats bound for free)
         if config.pressure_solver == "multigrid":
-            div = ops.divergence(u, v, config.half_divergence)
-            p = ops.pressure_solve_mg(div, config.mg_cycles,
-                                      tol=config.mg_tol,
-                                      max_cycles=config.mg_max_cycles)
-            u, v, vel_stats = ops.project(u, v, p, return_stats=True)
+            ppmg = getattr(ops, "pressure_project_mg", None)
+            if ppmg is not None:
+                # fully-fused mg projection (divergence/residual/project
+                # folded into the smoothing launches — ops/multigrid.py)
+                u, v, p, vel_stats = ppmg(
+                    u, v, config.mg_cycles, tol=config.mg_tol,
+                    max_cycles=config.mg_max_cycles,
+                    half=config.half_divergence, return_stats=True)
+            else:
+                div = ops.divergence(u, v, config.half_divergence)
+                p = ops.pressure_solve_mg(div, config.mg_cycles,
+                                          tol=config.mg_tol,
+                                          max_cycles=config.mg_max_cycles)
+                u, v, vel_stats = ops.project(u, v, p, return_stats=True)
         else:
             # single fused op (divergence folded into the first pressure
             # burst, projection into the last on the pallas backend)

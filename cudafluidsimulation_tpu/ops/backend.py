@@ -46,6 +46,11 @@ def _namespace(module, overrides=None) -> types.SimpleNamespace:
         if overrides and name in overrides:
             fn = overrides[name]
         setattr(ns, name, fn)
+    # optional hooks beyond the base API (e.g. pressure_project_mg,
+    # advect_both): consumed via getattr by models/pipelines.py
+    for name, fn in (overrides or {}).items():
+        if name not in _OP_NAMES:
+            setattr(ns, name, fn)
     return ns
 
 

@@ -812,6 +812,205 @@ def smooth_damped(p: jnp.ndarray, rhs: jnp.ndarray, sweeps: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused multigrid fine-level ends (the mg analog of the fused pressure
+# chain below): every non-bottom V-cycle level runs
+#     pre-smooth -> residual -> restrict ... prolong -> correct -> post-smooth
+# and the r4 anatomy probe (scripts/mg_anatomy_probe.py) measured the
+# residual/divergence/project passes around the (now cheap) burst smoother
+# as the remaining solver-side cost.  These kernels fold them in:
+#
+#   _smooth_res_kernel        pre-smooth + residual       (p, rhs -> p, res)
+#   _smooth_res0_kernel       zero-start variant           (rhs -> p, res)
+#                             (coarse levels start from e=0; skips reading p)
+#   _first_smooth_res_kernel  divergence + pre-smooth + residual
+#                             (u, v -> p, rhs, res; cycle 1's fine level —
+#                             the mg twin of _first_pressure_kernel)
+#   _last_smooth_project_kernel post-smooth + gradient subtraction
+#                             (p, rhs, u, v -> p, u', v'[, vel_stats];
+#                             the twin of _last_pressure_kernel)
+#
+# Restriction/prolongation stay XLA: Mosaic cannot lower strided slices
+# (vector.extract_strided_slice sublane/lane stride 2 rejects; gather rule
+# shape-mismatches), and the XLA strided adds measured ~0.14 ms at 2048²
+# anyway.  Residuals of the evenly-extended Neumann system are themselves
+# even, so the mirror _edge_fill ghosts stay exact (module docstring).
+# Halo budgets: smooth+res needs hd >= k+1 (res taps +-1 beyond the k-sweep
+# trapezoid); div+smooth+res needs hd >= k+2 (div is valid to +-(hd-1)).
+# ---------------------------------------------------------------------------
+
+
+def _damped_sweeps(pe, re, k: int, omega: float, from_zero: bool):
+    if from_zero:
+        pe = omega * (re * 0.25)  # sweep 1 from p=0: neighbor taps are zero
+        k -= 1
+    for _ in range(k):
+        l, r, b, t = _clamped_neighbors(pe)
+        pe = pe + omega * ((l + r + b + t + re) * 0.25 - pe)
+    return pe
+
+
+def _residual_rows(pe, re, hd: int):
+    """rhs - A p on the strip rows of extended (p, rhs) planes — the same
+    expression order as ops.multigrid's `rhs - apply_a(p)` (bit-equal)."""
+    l, r, b, t = _clamped_neighbors(pe)
+    res = re - (4.0 * pe - (l + r + b + t))
+    return res[hd:-hd, :]
+
+
+def _smooth_res_kernel(p_mid, p_lo, p_hi, r_mid, r_lo, r_hi, p_out, res_out,
+                       *, k, hd, n_strips, omega, from_zero):
+    i = pl.program_id(1)
+    re = jnp.concatenate([r_lo[0], r_mid[0], r_hi[0]], axis=0)
+    re = _edge_fill(re, i, n_strips, hd)
+    if from_zero:
+        pe = _damped_sweeps(None, re, k, omega, True)
+    else:
+        pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+        pe = _edge_fill(pe, i, n_strips, hd)
+        pe = _damped_sweeps(pe, re, k, omega, False)
+    p_out[0] = pe[hd:-hd, :]
+    res_out[0] = _residual_rows(pe, re, hd)
+
+
+def _first_smooth_res_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
+                             p_out, rhs_out, res_out, *, k, hd, n_strips,
+                             omega, half):
+    i = pl.program_id(1)
+    ue = jnp.concatenate([u_lo[0], u_mid[0], u_hi[0]], axis=0)
+    ve = jnp.concatenate([v_lo[0], v_mid[0], v_hi[0]], axis=0)
+    ue = _edge_fill(ue, i, n_strips, hd)
+    ve = _edge_fill(ve, i, n_strips, hd)
+    de = _divergence_ext(ue, ve, half)
+    de = _edge_fill(de, i, n_strips, hd)
+    re = -de  # the mg system is A p = -div (ops.multigrid rhs convention)
+    pe = _damped_sweeps(None, re, k, omega, True)
+    p_out[0] = pe[hd:-hd, :]
+    rhs_out[0] = re[hd:-hd, :]
+    res_out[0] = _residual_rows(pe, re, hd)
+
+
+def _last_smooth_project_kernel(p_mid, p_lo, p_hi, r_mid, r_lo, r_hi,
+                                u_mid, v_mid, p_out, u_out, v_out,
+                                *maybe_st, k, hd, n_strips, omega):
+    i = pl.program_id(1)
+    pe = jnp.concatenate([p_lo[0], p_mid[0], p_hi[0]], axis=0)
+    re = jnp.concatenate([r_lo[0], r_mid[0], r_hi[0]], axis=0)
+    pe = _edge_fill(pe, i, n_strips, hd)
+    re = _edge_fill(re, i, n_strips, hd)
+    pe = _damped_sweeps(pe, re, k, omega, False)
+    ps, u2, v2 = _project_rows(pe, u_mid[0], v_mid[0], hd)
+    p_out[0] = ps
+    u_out[0] = u2
+    v_out[0] = v2
+    if maybe_st:
+        _emit_vel_stats(maybe_st[0], u2, v2, i)
+
+
+def mg_ends_fusable(h: int, w: int, nu: int, block_rows: int = 256) -> bool:
+    """True when the fused mg end kernels support this level geometry as-is
+    (single nu-sweep burst, no mirror padding, viable 8-plane strips at the
+    deepest halo any of them needs: hd(k+2))."""
+    if nu <= 0 or w % 128 != 0 or w < 128 or h < 2 * _SUBLANE:
+        return False
+    hd = _halo_depth(nu + 2)
+    return h % hd == 0 and _pick_block_rows(h, hd, w, block_rows,
+                                            planes=8) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "block_rows",
+                                             "from_zero"))
+def smooth_res(p, rhs: jnp.ndarray, sweeps: int, omega: float = 0.8, *,
+               block_rows: int = 256, from_zero: bool = False):
+    """``sweeps`` damped-Jacobi sweeps + the residual, one launch:
+    returns (p', rhs - A p').  ``from_zero`` starts from p=0 and ignores
+    ``p`` (pass rhs; coarse mg levels — skips the p read entirely).
+    Caller must check :func:`mg_ends_fusable`."""
+    h, w = rhs.shape
+    hd = _halo_depth(sweeps + 1)
+    r = _pick_block_rows(h, hd, w, block_rows, planes=8)
+    mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_smooth_res_kernel, k=sweeps, hd=hd,
+                             n_strips=n_strips, omega=omega,
+                             from_zero=from_zero)
+    rr = rhs[None]
+    pp = rr if from_zero else p[None]  # zero-start kernels never read it
+    p2, res = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi],
+        out_specs=[out, out],
+        interpret=_interpret(),
+    )(pp, pp, pp, rr, rr, rr)
+    return p2[0], res[0]
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "half",
+                                             "block_rows"))
+def first_smooth_res(u, v, sweeps: int, half: bool, omega: float = 0.8, *,
+                     block_rows: int = 256):
+    """Divergence + ``sweeps`` damped sweeps from p=0 + residual, one
+    launch: returns (p, rhs, res) with rhs = -divergence(u, v, half) — the
+    mg twin of the fused first pressure burst.  Caller must check
+    :func:`mg_ends_fusable`."""
+    h, w = u.shape
+    hd = _halo_depth(sweeps + 2)
+    r = _pick_block_rows(h, hd, w, block_rows, planes=8)
+    mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_first_smooth_res_kernel, k=sweeps, hd=hd,
+                             n_strips=n_strips, omega=omega, half=half)
+    uu, vv = u[None], v[None]
+    p2, rr, res = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi],
+        out_specs=[out, out, out],
+        interpret=_interpret(),
+    )(uu, uu, uu, vv, vv, vv)
+    return p2[0], rr[0], res[0]
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "block_rows",
+                                             "return_stats"))
+def last_smooth_project(p, rhs, u, v, sweeps: int, omega: float = 0.8, *,
+                        block_rows: int = 256, return_stats: bool = False):
+    """``sweeps`` damped sweeps + pressure-gradient subtraction, one
+    launch: returns (u', v', p'[, vel_stats]) — the mg twin of the fused
+    last pressure burst.  Caller must check :func:`mg_ends_fusable`."""
+    h, w = u.shape
+    hd = _halo_depth(sweeps + 1)
+    r = _pick_block_rows(h, hd, w, block_rows, planes=8)
+    mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)
+    out = pl.BlockSpec((1, r, w), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_last_smooth_project_kernel, k=sweeps, hd=hd,
+                             n_strips=n_strips, omega=omega)
+    shapes = [jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 3
+    out_specs = [out, out, out]
+    if return_stats:
+        st_shape, st_spec = _vel_stats_spec(n_strips)
+        shapes.append(st_shape)
+        out_specs.append(st_spec)
+    pp, rr, uu, vv = p[None], rhs[None], u[None], v[None]
+    res = pl.pallas_call(
+        kern,
+        out_shape=shapes,
+        grid=(1, n_strips),
+        in_specs=[mid, lo, hi, mid, lo, hi, mid, mid],
+        out_specs=out_specs,
+        interpret=_interpret(),
+    )(pp, pp, pp, rr, rr, rr, uu, vv)
+    if return_stats:
+        return res[1][0], res[2][0], res[0][0], _vel_stats_reduce(res[3])
+    return res[1][0], res[2][0], res[0][0]
+
+
+# ---------------------------------------------------------------------------
 # Fused divergence -> Jacobi -> project (saves the separate XLA divergence and
 # project passes: the first burst computes divergence from velocity strips in
 # VMEM, the last burst applies the pressure-gradient subtraction before

@@ -246,3 +246,148 @@ def residual_norm(p, div):
     """||A p + div||_rms — convergence diagnostic."""
     r = _apply_a(p) + div
     return jnp.sqrt(jnp.mean(r * r))
+
+
+# -- fully-fused single-chip multigrid projection -----------------------------
+#
+# The mg analog of jacobi_pallas.pressure_project: the r4 anatomy probe
+# (scripts/mg_anatomy_probe.py) put the burst-smoothed mg2 SOLVE at 0.81 ms
+# (2048²) while the mg STEP still paid ~0.7 ms over the fused Jacobi path on
+# QUIET frames — the separate divergence/project passes plus the per-level
+# residual passes around the smoother.  Here every non-bottom level's
+# pre-smooth emits its residual from the same launch, cycle 1's fine
+# pre-smooth folds the divergence in (reading u, v directly), and the last
+# cycle's fine post-smooth folds the projection (emitting u', v' and the
+# free vel_stats).  Restrict/prolong stay XLA (Mosaic cannot lower strided
+# slices; they measured ~0.14 ms each).  Arithmetic is expression-for-
+# expression the scan solver's, so solutions agree to f32 association.
+
+
+def _pre_smooth_res(p, rhs, nu, block_rows=256):
+    """(p', rhs - A p') after nu damped sweeps; p=None starts from zero.
+    Fused pallas launch on big exact levels, scan + XLA residual elsewhere."""
+    h, w = rhs.shape
+    if _burst_smooth_ok(h, w):
+        from cudafluidsimulation_tpu.ops import jacobi_pallas
+
+        if jacobi_pallas.mg_ends_fusable(h, w, nu, block_rows):
+            return jacobi_pallas.smooth_res(
+                rhs if p is None else p, rhs, nu, _OMEGA,
+                block_rows=block_rows, from_zero=p is None)
+    if p is None:
+        p = jnp.zeros_like(rhs)
+    p = _smooth_mixed(p, rhs, nu)
+    return p, rhs - _apply_a(p)
+
+
+def _coarse_correction(res, level, nu1, nu2, coarse_sweeps):
+    """restrict -> recursive zero-start V-cycle -> prolong: the error
+    correction every non-bottom level applies."""
+    rhs_c = 4.0 * _restrict(res)
+    e = _vcycle_fused(None, rhs_c, level - 1, nu1, nu2, coarse_sweeps)
+    return _prolong(e)
+
+
+def _vcycle_fused(p, rhs, level, nu1, nu2, coarse_sweeps):
+    """One V-cycle with fused pre-smooth+residual launches; ``p=None``
+    means a zero start (every level below the fine one)."""
+    if level == 1:
+        if p is None:
+            p = jnp.zeros_like(rhs)
+        return _smooth_mixed(p, rhs, coarse_sweeps)
+    p, res = _pre_smooth_res(p, rhs, nu1)
+    p = p + _coarse_correction(res, level, nu1, nu2, coarse_sweeps)
+    return _smooth_mixed(p, rhs, nu2)
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2",
+                                             "coarse_sweeps", "tol",
+                                             "max_cycles", "half",
+                                             "return_stats", "block_rows"))
+def pressure_project_mg(u, v, cycles: int = 2, nu1: int = 2, nu2: int = 2,
+                        coarse_sweeps: int = 20, tol: float = 0.0,
+                        max_cycles: int = 8, half: bool = True,
+                        return_stats: bool = False, block_rows: int = 256):
+    """Fused divergence -> multigrid V-cycles -> projection: returns
+    (u', v', p[, vel_stats]).  Same solve as
+    divergence/pressure_solve_mg(smoother="burst")/project to f32
+    association; the ends ride single pallas launches where the geometry
+    allows (jacobi_pallas.mg_ends_fusable), with graceful per-piece
+    fallback otherwise.
+
+    ``tol > 0`` runs residual-targeted cycles (rms(A p + div) < tol, cap
+    ``max_cycles``) like pressure_solve_mg; the projection then runs as the
+    standalone kernel (a while_loop body must be cycle-uniform, so the
+    last cycle cannot specialize)."""
+    from cudafluidsimulation_tpu.ops import jacobi_pallas
+    from cudafluidsimulation_tpu.ops import ref as _ref
+
+    h, w = u.shape
+    lv = _levels(h, w)
+
+    fuse_first = (_burst_smooth_ok(h, w)
+                  and jacobi_pallas.mg_ends_fusable(h, w, nu1, block_rows))
+    fuse_last = (tol <= 0 and _burst_smooth_ok(h, w)
+                 and jacobi_pallas.mg_ends_fusable(h, w, nu2, block_rows))
+
+    # cycle 1 pre-smooth, divergence fused when the geometry allows
+    if fuse_first:
+        p, rhs, res = jacobi_pallas.first_smooth_res(
+            u, v, nu1, half, _OMEGA, block_rows=block_rows)
+    else:
+        div = (jacobi_pallas.divergence(u, v, half, block_rows=block_rows)
+               if jacobi_pallas.divergence_supported(h, w)
+               else _ref.divergence(u, v, half))
+        rhs = -div
+        p, res = _pre_smooth_res(None, rhs, nu1)
+
+    def finish_cycle(p, res):
+        p = p + _coarse_correction(res, lv, nu1, nu2, coarse_sweeps)
+        return _smooth_mixed(p, rhs, nu2)
+
+    def project_out(p):
+        if jacobi_pallas.divergence_supported(h, w):
+            return jacobi_pallas.project(u, v, p, block_rows=block_rows,
+                                         return_stats=return_stats)
+        return _ref.project(u, v, p, return_stats=return_stats)
+
+    def pack(uvp_st):
+        if return_stats:
+            u2, v2, st = uvp_st
+            return u2, v2, p_final, st
+        u2, v2 = uvp_st
+        return u2, v2, p_final
+
+    if tol <= 0:
+        for c in range(cycles):
+            if c > 0:
+                p, res = _pre_smooth_res(p, rhs, nu1)
+            last = c == cycles - 1
+            if last and fuse_last:
+                p = p + _coarse_correction(res, lv, nu1, nu2, coarse_sweeps)
+                return jacobi_pallas.last_smooth_project(
+                    p, rhs, u, v, nu2, _OMEGA, block_rows=block_rows,
+                    return_stats=return_stats)
+            p = finish_cycle(p, res)
+        p_final = p
+        return pack(project_out(p))
+
+    # residual-targeted: finish cycle 1, then uniform while_loop cycles
+    p = finish_cycle(p, res)
+
+    def res_sq(p):
+        r = _apply_a(p) - rhs
+        return jnp.mean(r * r)
+
+    def body(carry):
+        p, i, _ = carry
+        p2 = _vcycle_fused(p, rhs, lv, nu1, nu2, coarse_sweeps)
+        return p2, i + 1, res_sq(p2)
+
+    def cond(carry):
+        _, i, rsq = carry
+        return (i < max_cycles) & (rsq >= jnp.float32(tol) ** 2)
+
+    p_final, _, _ = jax.lax.while_loop(
+        cond, body, (p, jnp.int32(1), res_sq(p)))
+    return pack(project_out(p_final))

@@ -61,6 +61,13 @@ def overrides(config: FluidConfig) -> dict:
         # XLA scan that beat the rejected tiny-launch kernel)
         out["pressure_solve_mg"] = functools.partial(
             multigrid.pressure_solve_mg, smoother="burst")
+        # ... and the fully-fused mg projection (divergence into cycle 1's
+        # pre-smooth, projection into the last post-smooth, residuals
+        # emitted by every pre-smooth launch); optional namespace hook,
+        # consumed by models/pipelines.py — anything patching the namespace
+        # (instrument, ensembles) must cover it like the other fused ops
+        out["pressure_project_mg"] = functools.partial(
+            multigrid.pressure_project_mg, block_rows=config.block_rows)
         if jacobi_pallas.fusable(config.ny, config.nx, config.pressure_iters,
                                  prs_rows, prs_burst):
             out["pressure_project"] = functools.partial(

@@ -117,11 +117,25 @@ def timed_ops(base, totals: Dict[str, float]) -> types.SimpleNamespace:
         bloomed = ns.apply_bloom(rgba, pos, intense, radius)  # bills Bloom
         return jnp.where(jnp.asarray(active), bloomed, rgba)
 
+    def pressure_project_mg(u, v, cycles, tol=0.0, max_cycles=8, half=True,
+                            return_stats=False):
+        # decompose the fused mg projection the same way: divergence /
+        # pressure_solve_mg / project all bill their reference buckets
+        d = ns.divergence(u, v, half)
+        p = ns.pressure_solve_mg(d, cycles, tol=tol, max_cycles=max_cycles)
+        if return_stats:
+            u2, v2, st = ns.project(u, v, p, return_stats=True)
+            return u2, v2, p, st
+        u2, v2 = ns.project(u, v, p)
+        return u2, v2, p
+
     ns.pressure_project = pressure_project
     ns.diffuse_multi_splat = diffuse_multi_splat
     ns.render_frame = render_frame
     if hasattr(base, "advect_both"):
         ns.advect_both = advect_both
+    if hasattr(base, "pressure_project_mg"):
+        ns.pressure_project_mg = pressure_project_mg
     return ns
 
 

@@ -37,10 +37,16 @@ from cudafluidsimulation_tpu.utils.impulse import orbit_impulse  # noqa: E402
 
 
 def build(nx, ny, smoother=None, **over):
+    """smoother: None = production path (fused pressure_project_mg on the
+    pallas backend), "fused" = same explicitly, "scan"/"burst" = the unfused
+    divergence/solve/project composition with that smoother (r2/r4-early
+    paths; the fused hook must be removed or the pipeline would prefer it)."""
     cfg = FluidConfig.gpu_reference(nx=nx, ny=ny, backend="auto",
                                     max_displacement=31, **over)
     ops = get_ops(cfg)
-    if smoother is not None and cfg.pressure_solver == "multigrid":
+    if smoother in ("scan", "burst") and cfg.pressure_solver == "multigrid":
+        if hasattr(ops, "pressure_project_mg"):
+            del ops.pressure_project_mg
         ops.pressure_solve_mg = functools.partial(
             multigrid.pressure_solve_mg, smoother=smoother)
     sim = Simulation(cfg)  # builds its own ops; only for init()
@@ -113,6 +119,9 @@ def main():
             pressure_solver="multigrid", mg_cycles=c)
         res[f"mg{c}_burst_ms"] = step_ms(
             nx, ny, short, long_, smoother="burst",
+            pressure_solver="multigrid", mg_cycles=c)
+        res[f"mg{c}_fused_ms"] = step_ms(
+            nx, ny, short, long_, smoother="fused",
             pressure_solver="multigrid", mg_cycles=c)
         print(json.dumps({k: v for k, v in res.items()}), flush=True)
     res["quality_tol05_ms"] = step_ms(

@@ -625,3 +625,151 @@ def test_mg_burst_smoother_override_wiring():
     p_s = multigrid.pressure_solve_mg(div, cycles=2)
     np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_s),
                                atol=5e-6, rtol=1e-5)
+
+
+# -- fused multigrid ends (smooth_res / first_smooth_res / last_smooth_project)
+
+
+def test_smooth_res_matches_composition(rng):
+    """Pre-smooth + residual in one launch == smooth_damped then the XLA
+    residual, both start modes."""
+    from cudafluidsimulation_tpu.ops import multigrid as mg
+
+    h, w = 64, 256
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    rhs = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    assert jacobi_pallas.mg_ends_fusable(h, w, 2, 32)
+    got_p, got_r = jacobi_pallas.smooth_res(p, rhs, 2, 0.8, block_rows=32)
+    exp_p = jacobi_pallas.smooth_damped(p, rhs, 2, 0.8, block_rows=32)
+    exp_r = rhs - mg._apply_a(exp_p)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(exp_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(exp_r),
+                               atol=1e-5)
+    # zero start (coarse levels): p argument is ignored
+    got_p0, got_r0 = jacobi_pallas.smooth_res(rhs, rhs, 2, 0.8,
+                                              block_rows=32, from_zero=True)
+    exp_p0 = jacobi_pallas.smooth_damped(jnp.zeros_like(rhs), rhs, 2, 0.8,
+                                         block_rows=32)
+    np.testing.assert_allclose(np.asarray(got_p0), np.asarray(exp_p0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_r0),
+                               np.asarray(rhs - mg._apply_a(exp_p0)),
+                               atol=1e-5)
+
+
+def test_first_smooth_res_matches_composition(rng):
+    from cudafluidsimulation_tpu.ops import multigrid as mg
+
+    h, w = 64, 256
+    u = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    got_p, got_rhs, got_res = jacobi_pallas.first_smooth_res(
+        u, v, 2, True, 0.8, block_rows=32)
+    exp_rhs = -ref.divergence(u, v, True)
+    exp_p = jacobi_pallas.smooth_damped(jnp.zeros_like(exp_rhs), exp_rhs, 2,
+                                        0.8, block_rows=32)
+    np.testing.assert_allclose(np.asarray(got_rhs), np.asarray(exp_rhs),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(exp_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_res),
+                               np.asarray(exp_rhs - mg._apply_a(exp_p)),
+                               atol=1e-5)
+
+
+def test_last_smooth_project_matches_composition(rng):
+    h, w = 64, 256
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    rhs = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    u = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 10).astype(np.float32))
+    got_u, got_v, got_p, got_st = jacobi_pallas.last_smooth_project(
+        p, rhs, u, v, 2, 0.8, block_rows=32, return_stats=True)
+    exp_p = jacobi_pallas.smooth_damped(p, rhs, 2, 0.8, block_rows=32)
+    exp_u, exp_v, exp_st = ref.project(u, v, exp_p, return_stats=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(exp_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(exp_u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(exp_v),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(exp_st),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [dict(cycles=1), dict(cycles=2),
+                                dict(cycles=2, tol=0.05),
+                                dict(cycles=3, tol=1e-20, max_cycles=2)])
+def test_pressure_project_mg_matches_composition(rng, kw):
+    """The fully-fused mg projection == divergence -> pressure_solve_mg
+    (burst smoother) -> project, fixed-cycle AND residual-targeted modes."""
+    from cudafluidsimulation_tpu.ops import multigrid as mg
+
+    h, w = 256, 256
+    u = jnp.asarray((rng.standard_normal((h, w)) * 20).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 20).astype(np.float32))
+    got_u, got_v, got_p, got_st = mg.pressure_project_mg(
+        u, v, half=True, return_stats=True, **kw)
+    div = ref.divergence(u, v, True)
+    exp_p = mg.pressure_solve_mg(div, kw.get("cycles", 2),
+                                 tol=kw.get("tol", 0.0),
+                                 max_cycles=kw.get("max_cycles", 8),
+                                 smoother="burst")
+    exp_u, exp_v, exp_st = ref.project(u, v, exp_p, return_stats=True)
+    # f32-association noise amplifies through V-cycles on ~500-magnitude
+    # pressure (measured max |dp| 2e-3 with residuals equal to 7 digits);
+    # 5e-3 atol is ~4e-6 relative here
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(exp_p),
+                               atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(exp_u),
+                               atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(exp_v),
+                               atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(exp_st),
+                               rtol=1e-4)
+
+
+def test_pressure_project_mg_unfusable_geometry(rng):
+    """Mirror-padded geometries (960x540-style) fall back piecewise and
+    still match the composition."""
+    from cudafluidsimulation_tpu.ops import multigrid as mg
+
+    h, w = 60, 192  # w % 128 != 0 -> ends not fusable at the fine level
+    assert not jacobi_pallas.mg_ends_fusable(h, w, 2)
+    u = jnp.asarray((rng.standard_normal((h, w)) * 20).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((h, w)) * 20).astype(np.float32))
+    got_u, got_v, got_p = mg.pressure_project_mg(u, v, cycles=2, half=True)
+    div = ref.divergence(u, v, True)
+    exp_p = mg.pressure_solve_mg(div, 2, smoother="burst")
+    exp_u, exp_v = ref.project(u, v, exp_p)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(exp_p),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(exp_u),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pressure_project_mg_pipeline_wiring():
+    """The pallas backend exposes the fused hook; the ref namespace does
+    not (pipeline composes there); pipelines produce matching physics."""
+    from cudafluidsimulation_tpu import Simulation
+    from cudafluidsimulation_tpu.utils.impulse import constant_impulse
+
+    cfg_p = FluidConfig.gpu_reference(nx=256, ny=256, backend="pallas",
+                                      pressure_solver="multigrid",
+                                      mg_cycles=2, vorticity=0.5,
+                                      force_scale=500.0)
+    cfg_r = FluidConfig.gpu_reference(nx=256, ny=256, backend="ref",
+                                      pressure_solver="multigrid",
+                                      mg_cycles=2, vorticity=0.5,
+                                      force_scale=500.0)
+    assert hasattr(get_ops(cfg_p), "pressure_project_mg")
+    assert not hasattr(get_ops(cfg_r), "pressure_project_mg")
+    imp = constant_impulse(8, 1 / 60, pos=(128.0, 128.0),
+                           last_pos=(124.0, 126.0))
+    st_p = Simulation(cfg_p).run(Simulation(cfg_p).init(), imp)
+    st_r = Simulation(cfg_r).run(Simulation(cfg_r).init(), imp)
+    np.testing.assert_allclose(np.asarray(st_p.u), np.asarray(st_r.u),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st_p.dye), np.asarray(st_r.dye),
+                               atol=5e-4)
