@@ -909,10 +909,16 @@ def _last_smooth_project_kernel(p_mid, p_lo, p_hi, r_mid, r_lo, r_hi,
 def mg_ends_fusable(h: int, w: int, nu: int, block_rows: int = 256) -> bool:
     """True when the fused mg end kernels support this level geometry as-is
     (single nu-sweep burst, no mirror padding, viable 8-plane strips at the
-    deepest halo any of them needs: hd(k+2))."""
+    deepest halo any of them needs: hd(k+2)).  Wide grids where the
+    column-tiled plan engages say no — these kernels are flat-strip only,
+    and at w=8192 flat fused end bursts (r=16) measured worse than the
+    tiled solver with cheap passes around it (BASELINE.md r3); the mg
+    driver then runs tiled smooth_damped + XLA residual instead."""
     if nu <= 0 or w % 128 != 0 or w < 128 or h < 2 * _SUBLANE:
         return False
     hd = _halo_depth(nu + 2)
+    if _col_plan(h, w, hd, block_rows) is not None:
+        return False
     return h % hd == 0 and _pick_block_rows(h, hd, w, block_rows,
                                             planes=8) > 0
 

@@ -90,7 +90,7 @@ def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
 
 
 def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
-                prolong_fn=None):
+                prolong_fn=None, smooth_res_fn=None):
     """Build the V-cycle from a clamped-neighborhood function — the single
     source of the multigrid numerics.  ``neighbors_fn(p) -> (l, r, b, t)``
     supplies the operator's boundary handling: the single-chip solver passes
@@ -105,7 +105,12 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
     paths feed ``bilinear_from_padded`` a 1-deep halo exchange instead of
     the local clamped pad — same arithmetic, bit-identical results).
     ``bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)`` overrides the coarsest
-    level (the shard_map path gathers the sub-shard-cap levels there)."""
+    level (the shard_map path gathers the sub-shard-cap levels there).
+    ``smooth_res_fn(p, rhs, nu1) -> (p', rhs - A p')`` overrides the
+    pre-smooth AND the residual in one call (the shard_map paths ride the
+    residual on the pre-smooth's halo exchange — one fewer exchange pair
+    per level per cycle; the single-chip pallas driver has its own fused
+    twin, pressure_project_mg)."""
 
     def apply_a(p):
         l, r, b, t = neighbors_fn(p)
@@ -128,8 +133,11 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
             if bottom_fn is not None:
                 return bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)
             return smooth(p, rhs, coarse_sweeps)
-        p = smooth(p, rhs, nu1)
-        res = rhs - apply_a(p)
+        if smooth_res_fn is not None:
+            p, res = smooth_res_fn(p, rhs, nu1)
+        else:
+            p = smooth(p, rhs, nu1)
+            res = rhs - apply_a(p)
         # NOTE the scaling: restricting the residual of the unscaled 5-point
         # operator onto the coarse grid doubles the effective mesh width,
         # which for this h²-absorbed operator means the coarse RHS gains a

@@ -414,14 +414,43 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
         left = sweeps
         while left > 0:
             k = min(left, hl, wl, 8)
-            pp = _x2d(p, k, edge="mirror")
-            rp = _x2d(rhs, k, edge="mirror")
+            # ONE stacked (p, rhs) exchange_2d per burst (see
+            # shardmap_step._mg_smooth — half the pairs)
+            pr = _x2d(jnp.stack([p, rhs]), k, edge="mirror")
+            pp, rp = pr[0], pr[1]
             for _ in range(k):
                 l, r, b, t = _nb(pp)
                 pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
             p = pp[..., k:-k, k:-k]
             left -= k
         return p
+
+    def _mg_smooth_res(p, rhs, sweeps):
+        """Pre-smooth + residual off the last burst's exchange_2d (k+1 deep,
+        both axes — see shardmap_step._mg_smooth_res for the validity
+        argument; here the x taps also come from the exchanged halo)."""
+        from cudafluidsimulation_tpu.ops.multigrid import _OMEGA
+        from cudafluidsimulation_tpu.ops.stencil import neighbors as _nb
+
+        hl, wl = p.shape[-2], p.shape[-1]
+        left = sweeps
+        while left > 0:
+            k = min(left, hl - 1, wl - 1, 8)
+            last = left == k
+            wk = k + 1 if last else k
+            pr = _x2d(jnp.stack([p, rhs]), wk, edge="mirror")
+            pp, rp = pr[0], pr[1]
+            for _ in range(k):
+                l, r, b, t = _nb(pp)
+                pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
+            if last:
+                l, r, b, t = _nb(pp)
+                res = rp - (4.0 * pp - (l + r + b + t))
+                return (pp[..., wk:-wk, wk:-wk],
+                        res[..., wk:-wk, wk:-wk])
+            p = pp[..., wk:-wk, wk:-wk]
+            left -= k
+        raise AssertionError("sweeps must be >= 1")
 
     def pressure_solve_mg(div, cycles, tol=0.0, max_cycles=8):
         """2-D-sharded V-cycle: burst smoothing, global level hierarchy,
@@ -460,7 +489,8 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
 
         vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
                                          bottom_fn=bottom,
-                                         prolong_fn=_mg_prolong)
+                                         prolong_fn=_mg_prolong,
+                                         smooth_res_fn=_mg_smooth_res)
         rhs = -div
 
         def res_sq(p):

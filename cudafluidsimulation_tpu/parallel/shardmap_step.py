@@ -501,14 +501,50 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
         left = sweeps
         while left > 0:
             k = min(left, hl, 8)
-            pp = exchange_rows(p, k, axis_name, edge="mirror")
-            rp = exchange_rows(rhs, k, axis_name, edge="mirror")
+            # ONE stacked (p, rhs) exchange per burst — half the pairs of
+            # exchanging them separately (r4: mg pairs were ~2x the level
+            # count's floor because every burst paid 2)
+            pr = exchange_rows(jnp.stack([p, rhs]), k, axis_name,
+                               edge="mirror")
+            pp, rp = pr[0], pr[1]
             for _ in range(k):
                 l, r, b, t = _nb(pp)
                 pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
             p = pp[..., k:-k, :]
             left -= k
         return p
+
+    def _mg_smooth_res(p, rhs, sweeps):
+        """Pre-smooth + residual with the residual riding the LAST burst's
+        halo exchange: the final burst exchanges k+1 deep, sweeps k times
+        (padded rows within distance k of the exchange edge are the only
+        degraded ones), and computes rhs - A p on the padded planes — rows
+        [k+1, hl+k+1) of the result are exact, which is exactly the local
+        shard.  Saves the separate 1-deep residual exchange per level per
+        cycle.  Mirror ghosts at the physical edge ARE the clamp ghost at
+        distance 1, so the residual's edge taps stay exact."""
+        from cudafluidsimulation_tpu.ops.multigrid import _OMEGA
+        from cudafluidsimulation_tpu.ops.stencil import neighbors as _nb
+
+        hl = p.shape[-2]
+        left = sweeps
+        while left > 0:
+            k = min(left, hl - 1, 8)
+            last = left == k
+            wk = k + 1 if last else k
+            pr = exchange_rows(jnp.stack([p, rhs]), wk, axis_name,
+                               edge="mirror")
+            pp, rp = pr[0], pr[1]
+            for _ in range(k):
+                l, r, b, t = _nb(pp)
+                pp = pp + _OMEGA * (0.25 * (l + r + b + t + rp) - pp)
+            if last:
+                l, r, b, t = _nb(pp)
+                res = rp - (4.0 * pp - (l + r + b + t))
+                return pp[..., wk:-wk, :], res[..., wk:-wk, :]
+            p = pp[..., wk:-wk, :]
+            left -= k
+        raise AssertionError("sweeps must be >= 1")
 
     def pressure_solve_mg(div, cycles, tol=0.0, max_cycles=8):
         """Sharded V-cycle multigrid: the shared numerics from
@@ -552,7 +588,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
 
         vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
                                          bottom_fn=bottom,
-                                         prolong_fn=_mg_prolong)
+                                         prolong_fn=_mg_prolong,
+                                         smooth_res_fn=_mg_smooth_res)
         rhs = -div
 
         def res_sq(p):

@@ -206,6 +206,31 @@ def variant_core(variant, dt, y0, x0, u, v, ext, *, h_phys, w_phys,
         acc, _ = jax.lax.fori_loop(-1, 2, dx_body, (acc, r0))
         return acc, pltpu.roll(work, he - 1, axis=1)
 
+    def dy_body_incfull(dy, carry):
+        # PRODUCTION semantics (dynamic per-dy dx windows) with the dy roll
+        # advanced incrementally: one dynamic row-align roll per program,
+        # then a STATIC single-row roll per dy — tests whether arbitrary
+        # dynamic sublane rotates cost more than static-by-1 ones at equal
+        # moved volume (r4 candidate for the driven roll share)
+        acc, work = carry
+        wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+              + jnp.where(dy2 == dy, ty, 0.0))
+        active = (dy1 == dy) | (dy2 == dy)
+        dxlo = jnp.min(jnp.where(active, dx1, d_x))
+        dxhi = jnp.max(jnp.where(active, dx2, -d_x))
+        core = work[:, hd:hd + r, :]
+
+        def dx_body(dx, c2):
+            acc, rcur = c2
+            wx = (jnp.where(dx1 == dx, 1.0 - tx, 0.0)
+                  + jnp.where(dx2 == dx, tx, 0.0))
+            acc = acc + (wx * wy)[None] * rcur[:, :, :wt]
+            return acc, pltpu.roll(rcur, wext - 1, axis=2)
+
+        r0 = pltpu.roll(core, jnp.mod(wext - wd - dxlo, wext), axis=2)
+        acc, _ = jax.lax.fori_loop(dxlo, dxhi + 1, dx_body, (acc, r0))
+        return acc, pltpu.roll(work, he - 1, axis=1)
+
     def dy_body_f32(dy, acc):
         wy = (jnp.where(dy1 == dy, 1.0 - ty, 0.0)
               + jnp.where(dy2 == dy, ty, 0.0))
@@ -355,6 +380,11 @@ def variant_core(variant, dt, y0, x0, u, v, ext, *, h_phys, w_phys,
         # dy loop advances with static rolls only
         work0 = pltpu.roll(ext, jnp.mod(he - dylo, he), axis=1)
         acc, _ = jax.lax.fori_loop(dylo, dyhi + 1, dy_body_inc, (z, work0))
+        return acc
+    if variant == "incfull":
+        work0 = pltpu.roll(ext, jnp.mod(he - dylo, he), axis=1)
+        acc, _ = jax.lax.fori_loop(dylo, dyhi + 1, dy_body_incfull,
+                                   (z, work0))
         return acc
     if variant == "fixed":
         return jax.lax.fori_loop(-1, 2, dy_body_fixed, z)
@@ -549,7 +579,7 @@ for regime, speed in (("quiet", 0.5), ("driven", float(D) * 0.7 / dt)):
             continue  # fixed windows are only meaningful when flow < 1 cell
         jax.clear_caches()
         fn, geo = make_advect(variant, C, ny, nx, D)
-        if variant in ("zigzag", "xpose", "packed", "full"):
+        if variant in ("zigzag", "xpose", "packed", "full", "incfull"):
             outs[variant] = jax.device_get(jax.jit(fn)(f, u, v, dt))
         ms = delta_time(fn, (f, u, v, dt))
         print(f"  {variant:6s}: {ms:7.3f} ms   (r={geo[0]}, hd={geo[1]}, "

@@ -291,6 +291,22 @@ def main():
             rec2["ici_mb_per_step_per_device"] = round(
                 t2["ici_bytes_per_step_per_device"] / 1e6, 2)
             print(json.dumps(rec2), flush=True)
+
+            # sharded QUALITY preset traffic (multigrid pressure): per-level
+            # smooth/residual/prolong exchanges replace the Jacobi bursts'.
+            # Fixed mg_cycles=2 keeps the count exact; the tol row counts the
+            # traced while_loop body ONCE (one cycle) + cycle 1 — actual
+            # runs scale it by the realized cycle count (1..max_cycles).
+            cfg_mg = FluidConfig.gpu_reference(
+                nx=n, ny=n, pressure_iters=100, backend="pallas",
+                pressure_solver="multigrid", mg_cycles=2)
+            t_mg = measure_halo_traffic(cfg_mg, mesh)
+            rec3 = {"config": "sharded 8192^2 multigrid mg_cycles=2 "
+                              "(rows mesh model)"}
+            rec3.update(t_mg)
+            rec3["ici_mb_per_step_per_device"] = round(
+                t_mg["ici_bytes_per_step_per_device"] / 1e6, 2)
+            print(json.dumps(rec3), flush=True)
         else:
             print(json.dumps({"config": "sharded 8192^2",
                               "skipped": f"needs 8 devices, have {ndev}"}),

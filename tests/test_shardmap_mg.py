@@ -147,3 +147,20 @@ def test_shardmap2d_multigrid_tol_matches_single_device():
             np.asarray(getattr(st_single, name)),
             atol=3e-4, rtol=1e-3, err_msg=name,
         )
+
+
+@requires_multidevice
+def test_sharded_mg_exchange_schedule_pinned():
+    """The sharded multigrid exchange schedule: stacked (p, rhs) smoothing
+    exchanges and residuals riding the pre-smooth's k+1-deep exchange
+    (r4).  Regressing to separate/per-op exchanges would raise the count —
+    pin it (trace is shape-only, so the 8192² config is cheap)."""
+    from cudafluidsimulation_tpu.parallel.halo import measure_halo_traffic
+
+    mesh = make_mesh(8, ens=1)
+    cfg = FluidConfig.gpu_reference(nx=8192, ny=8192, pressure_iters=100,
+                                    backend="pallas",
+                                    pressure_solver="multigrid", mg_cycles=2)
+    t = measure_halo_traffic(cfg, mesh)
+    assert t["exchange_pairs_per_step"] == 55, t
+    assert t["all_gather_per_step"] == 0, t
