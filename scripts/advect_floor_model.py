@@ -39,7 +39,20 @@ def window_volumes(u, v, dt, d, c, label):
 
     h, w = u.shape
     hd = ap._halo(d)
-    hp, wp, r, cb = ap._pad_geometry(h, w, c, hd)
+    plan = ap._tile_plan(h, w, c, d)
+    if plan is not None:
+        # production path at this geometry is column-tiled: per-(strip,
+        # tile) windows, x taps bounded at d (chords clamp to [-d, d])
+        wt, wd_, t_cnt, r, cb = plan
+        hp = -(-h // r) * r
+        wp = wt * t_cnt
+        x_bound = d
+        wrow = wt + 2 * wd_  # the rolled ext row width per tile
+    else:
+        hp, wp, r, cb = ap._pad_geometry(h, w, c, hd)
+        wt, t_cnt = wp, 1
+        x_bound = wp - 1
+        wrow = wp
     he = r + 2 * hd
     pad = [(0, hp - h), (0, wp - w)]
     ui, vi = np.pad(u, pad), np.pad(v, pad)
@@ -50,41 +63,47 @@ def window_volumes(u, v, dt, d, c, label):
     x1 = np.trunc(xs.astype(np.float32) - dt * ui)
     dy1 = np.clip(np.clip(y1, 0, h - 1).astype(np.int32) - ys, -d, d)
     dy2 = np.clip(np.clip(y1 + 1, 0, h - 1).astype(np.int32) - ys, -d, d)
-    dx1 = (np.clip(x1, 0, w - 1).astype(np.int32) - xs)
-    dx2 = (np.clip(x1 + 1, 0, w - 1).astype(np.int32) - xs)
+    dx1 = np.clip(np.clip(x1, 0, w - 1).astype(np.int32) - xs,
+                  -x_bound, x_bound)
+    dx2 = np.clip(np.clip(x1 + 1, 0, w - 1).astype(np.int32) - xs,
+                  -x_bound, x_bound)
 
     n_strips = hp // r
     dyroll = align = acc = 0  # element volumes (x c where channel-scaled)
     window_rows = chord_total = 0
     for s in range(n_strips):
-        sl = slice(s * r, (s + 1) * r)
-        sdy1, sdy2 = dy1[sl], dy2[sl]
-        sdx1, sdx2 = dx1[sl], dx2[sl]
-        lo, hi = int(sdy1.min()), int(sdy2.max())
-        window_rows += hi - lo + 1
-        for dy in range(lo, hi + 1):
-            active = (sdy1 == dy) | (sdy2 == dy)
-            if not active.any():
-                dyroll += c * he * wp  # fori still rolls for empty dys
-                align += c * r * wp
-                continue
-            cxlo = int(sdx1[active].min())
-            cxhi = int(sdx2[active].max())
-            chord = cxhi - cxlo + 1
-            chord_total += chord
-            dyroll += c * he * wp
-            align += c * r * wp
-            # per dx: wx build (~2 passes, (r,w)) + fma (~1, (c,r,w)) +
-            # step roll (1, (c,r,w))
-            acc += chord * (2 * r * wp + 2 * c * r * wp)
+        for t in range(t_cnt):
+            sl = (slice(s * r, (s + 1) * r), slice(t * wt, (t + 1) * wt))
+            sdy1, sdy2 = dy1[sl], dy2[sl]
+            sdx1, sdx2 = dx1[sl], dx2[sl]
+            lo, hi = int(sdy1.min()), int(sdy2.max())
+            window_rows += hi - lo + 1
+            for dy in range(lo, hi + 1):
+                active = (sdy1 == dy) | (sdy2 == dy)
+                if not active.any():
+                    dyroll += c * he * wrow  # fori still rolls empty dys
+                    align += c * r * wrow
+                    continue
+                cxlo = int(sdx1[active].min())
+                cxhi = int(sdx2[active].max())
+                chord = cxhi - cxlo + 1
+                chord_total += chord
+                dyroll += c * he * wrow
+                # align roll + wy build (2 cmp + 2 sel + add) + 2 window
+                # reductions + active mask
+                align += c * r * wrow + 9 * r * wt
+                # per dx step: wx build (2 cmp + 2 sel + add = 5 passes of
+                # (r, wt)) + weight mul (1) + fma (c) + step roll (c, wrow)
+                acc += chord * ((6 + c) * r * wt + c * r * wrow)
 
     total = dyroll + align + acc
     essential = 6 * c * hp * wp  # 4 taps + weights, window-independent
     dma = (2 * c + 2) * hp * wp * 4  # read c + write c + read u,v (bytes)
     out = {
         "flow": label, "grid": [h, w], "d": d, "c": c,
-        "r": r, "hd": hd, "strips": n_strips,
-        "mean_dy_window": round(window_rows / n_strips, 1),
+        "r": r, "hd": hd, "tiled": plan is not None,
+        "programs": n_strips * t_cnt,
+        "mean_dy_window": round(window_rows / (n_strips * t_cnt), 1),
         "mean_chord": round(chord_total / max(1, window_rows), 1),
         "dyroll_Gelem": round(dyroll / 1e9, 2),
         "align_Gelem": round(align / 1e9, 2),
@@ -121,11 +140,14 @@ def main():
     cfg = FluidConfig.gpu_reference(nx=n, ny=n, backend="auto",
                                     max_displacement=d)
     sim = Simulation(cfg)
-    imp = orbit_impulse(60, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+    # steady state: bench.py's realized_max_displacement (21.6 cells) is
+    # reached only after a few hundred driven steps — step 60 still has
+    # ~3-row windows and would understate the production advect volume
+    imp = orbit_impulse(300, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
     st = jax.block_until_ready(sim.run(sim.init(), imp))
     u2, v2 = np.asarray(st.u), np.asarray(st.v)
-    window_volumes(u2, v2, float(cfg.dt), d, 3, "bench-orbit@60")
-    window_volumes(u2, v2, float(cfg.dt), d, 2, "bench-orbit@60 (velocity)")
+    window_volumes(u2, v2, float(cfg.dt), d, 3, "bench-orbit@300")
+    window_volumes(u2, v2, float(cfg.dt), d, 2, "bench-orbit@300 (velocity)")
 
 
 if __name__ == "__main__":
