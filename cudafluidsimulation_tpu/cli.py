@@ -33,13 +33,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 = variant default (cpu:5, gpu:20)")
     p.add_argument("--pressure-iters", type=int, default=-1,
                    help="-1 = variant default (cpu:5, gpu:30)")
-    p.add_argument("--preset", choices=["parity", "quality"], default=None,
+    p.add_argument("--preset", choices=["parity", "quality", "fast"],
+                   default=None,
                    help="parity = the reference gpu pipeline as shipped "
                    "(the default config); quality = beyond-parity accuracy "
                    "(multigrid pressure with residual-targeted stopping "
                    "rms<0.05 + exact advection bound d=31 — the BASELINE.md "
-                   "solver-frontier config).  Explicit flags override the "
-                   "preset")
+                   "solver-frontier config); fast = both bf16-packed "
+                   "advection modes (--fast-dye --fast-vel: -4%% step time "
+                   "at 2048², -4.3%% at 8192² driven; dye visually exact at "
+                   "any horizon, velocity entrained-not-bitwise — the "
+                   "BASELINE.md fast-mode rollout curve).  Explicit flags "
+                   "override the preset")
     p.add_argument("--pressure-solver", choices=["jacobi", "multigrid"],
                    default=None,
                    help="jacobi = reference-parity fixed sweeps (default); "
@@ -239,6 +244,13 @@ def main(argv=None) -> int:
             raise SystemExit("--preset quality applies to the gpu variant")
         overrides.update(pressure_solver="multigrid", mg_tol=0.05,
                          max_displacement=31)
+    elif args.preset == "fast":
+        # both opt-in bf16-packed advection modes (rollout accuracy
+        # characterized in BASELINE.md "Fast-mode rollout accuracy")
+        if args.variant == "cpu":
+            raise SystemExit("--preset fast applies to the gpu variant "
+                             "(the cpu parity path has no pallas kernels)")
+        overrides.update(fast_dye=True, fast_velocity=True)
     if args.diffusion_iters >= 0:
         overrides["diffusion_iters"] = args.diffusion_iters
     if args.pressure_iters >= 0:

@@ -612,6 +612,18 @@ def test_cli_preset_quality_flag_overrides(capsys):
     assert rc == 0
 
 
+def test_cli_preset_fast(capsys):
+    """--preset fast = both bf16-packed advection modes (gpu variant only)."""
+    from cudafluidsimulation_tpu.cli import main
+
+    rc = main(["--grid", "64", "--steps", "2", "--backend", "ref",
+               "--preset", "fast", "--impulse", "center"])
+    assert rc == 0
+    with pytest.raises(SystemExit):
+        main(["--grid", "64", "--steps", "1", "--variant", "cpu",
+              "--preset", "fast", "--impulse", "none"])
+
+
 def test_cli_mg_flag_notes(capsys):
     from cudafluidsimulation_tpu.cli import main
 
