@@ -90,7 +90,7 @@ def _levels(h: int, w: int, max_levels: int = 8, min_size: int = 16) -> int:
 
 
 def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
-                prolong_fn=None, smooth_res_fn=None):
+                prolong_fn=None, smooth_res_fn=None, parts: bool = False):
     """Build the V-cycle from a clamped-neighborhood function — the single
     source of the multigrid numerics.  ``neighbors_fn(p) -> (l, r, b, t)``
     supplies the operator's boundary handling: the single-chip solver passes
@@ -110,7 +110,16 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
     pre-smooth AND the residual in one call (the shard_map paths ride the
     residual on the pre-smooth's halo exchange — one fewer exchange pair
     per level per cycle; the single-chip pallas driver has its own fused
-    twin, pressure_project_mg)."""
+    twin, pressure_project_mg).
+
+    ``parts=True`` additionally returns the fine-level (probe, finish)
+    split: ``probe(p, rhs, nu1, level) -> (p', res')`` is the top level's
+    pre-smooth + residual, ``finish(p', res', rhs, level, ...)`` the rest
+    of the cycle (coarse correction + post-smooth), with
+    ``vcycle == finish ∘ probe`` operation-for-operation.  Residual-
+    targeted stopping (run_cycles) tests convergence between them, so the
+    stopping residual is the one the cycle computes anyway instead of a
+    separate apply_a pass."""
 
     def apply_a(p):
         l, r, b, t = neighbors_fn(p)
@@ -128,16 +137,26 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
     smooth = smooth_fn or default_smooth
     prolong = prolong_fn or _prolong
 
-    def vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
+    def bottom(p, rhs, nu1, nu2, coarse_sweeps):
+        if bottom_fn is not None:
+            return bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)
+        return smooth(p, rhs, coarse_sweeps)
+
+    def probe(p, rhs, nu1, level, nu2=None, coarse_sweeps=None):
+        """Top-level pre-smooth + its residual.  At level 1 the whole
+        (bottom) cycle runs here and finish() is the identity, so probed
+        stopping still tests the residual of a completed cycle."""
         if level == 1:
-            if bottom_fn is not None:
-                return bottom_fn(p, rhs, nu1, nu2, coarse_sweeps)
-            return smooth(p, rhs, coarse_sweeps)
-        if smooth_res_fn is not None:
-            p, res = smooth_res_fn(p, rhs, nu1)
+            p = bottom(p, rhs, nu1, nu2, coarse_sweeps)
+        elif smooth_res_fn is not None:
+            return smooth_res_fn(p, rhs, nu1)
         else:
             p = smooth(p, rhs, nu1)
-            res = rhs - apply_a(p)
+        return p, rhs - apply_a(p)
+
+    def finish(p, res, rhs, level, nu1, nu2, coarse_sweeps):
+        if level == 1:
+            return p
         # NOTE the scaling: restricting the residual of the unscaled 5-point
         # operator onto the coarse grid doubles the effective mesh width,
         # which for this h²-absorbed operator means the coarse RHS gains a
@@ -148,10 +167,23 @@ def make_vcycle(neighbors_fn, smooth_fn=None, bottom_fn=None,
         p = p + prolong(e_c)
         return smooth(p, rhs, nu2)
 
+    def vcycle(p, rhs, level: int, nu1: int, nu2: int, coarse_sweeps: int):
+        if level == 1:
+            return bottom(p, rhs, nu1, nu2, coarse_sweeps)
+        if smooth_res_fn is not None:
+            p, res = smooth_res_fn(p, rhs, nu1)
+        else:
+            p = smooth(p, rhs, nu1)
+            res = rhs - apply_a(p)
+        return finish(p, res, rhs, level, nu1, nu2, coarse_sweeps)
+
+    if parts:
+        return vcycle, apply_a, probe, finish
     return vcycle, apply_a
 
 
-_vcycle, _apply_a = make_vcycle(neighbors)
+_vcycle, _apply_a, _probe_scan, _finish_scan = make_vcycle(neighbors,
+                                                           parts=True)
 
 # -- pallas burst smoothing (single-chip fast path) ---------------------------
 #
@@ -187,39 +219,67 @@ def _smooth_mixed(p, rhs, sweeps: int):
     return p
 
 
-_vcycle_pallas, _ = make_vcycle(neighbors, smooth_fn=_smooth_mixed)
+_vcycle_pallas, _, _probe_burst, _finish_burst = make_vcycle(
+    neighbors, smooth_fn=_smooth_mixed, parts=True)
 
 
-def run_cycles(vcycle, res_sq_fn, p, rhs, level, cycles, tol, max_cycles,
-               nu1, nu2, coarse_sweeps):
+def probed_tol_loop(probe, finish, res_mean_fn, p0, first, tol, max_cycles):
+    """Residual-targeted cycle driver with a FREE stopping test: each
+    iteration completes the pending cycle then runs the NEXT cycle's
+    pre-smooth ``probe(p) -> (p', res')`` — whose residual (which the cycle
+    computes anyway, fused into the smoothing launch on the pallas/sharded
+    paths) doubles as the convergence check.  The old scheme paid a
+    separate apply_a + reduction per cycle (+~2 ms/cycle at 8192²).
+
+    ``first`` is the already-computed probe of ``p0``; on a converged exit
+    the returned iterate is the probed one (its rms residual is exactly the
+    tested value, < tol — pre-smooths only reduce the residual further, so
+    the contract holds with nu1 bonus sweeps); on a ``max_cycles`` cap exit
+    it is the last COMPLETED cycle's iterate — operation-for-operation the
+    fixed-``max_cycles`` result, so capped tol runs match fixed runs."""
+    p1, r1 = first
+    tol2 = jnp.float32(tol) ** 2
+
+    def body(carry):
+        _, p1, r1, _, i = carry
+        pf = finish(p1, r1)
+        p2, r2 = probe(pf)
+        return pf, p2, r2, res_mean_fn(r2), i + 1
+
+    def cond(carry):
+        _, _, _, rsq, i = carry
+        return (i < max_cycles) & (rsq >= tol2)
+
+    pf, p1, _, rsq, _ = jax.lax.while_loop(
+        cond, body, (p0, p1, r1, res_mean_fn(r1), jnp.int32(0))
+    )
+    return jnp.where(rsq < tol2, p1, pf)
+
+
+def run_cycles(vcycle, probe_fn, finish_fn, res_mean_fn, p, rhs, level,
+               cycles, tol, max_cycles, nu1, nu2, coarse_sweeps):
     """Drive V-cycles either a fixed ``cycles`` count (``tol <= 0``) or until
-    the rms residual drops below ``tol`` (at least 1, at most ``max_cycles``
-    cycles, via ``lax.while_loop`` — dynamic count, no recompiles).
+    the rms residual drops below ``tol`` (at most ``max_cycles`` cycles, via
+    ``lax.while_loop`` — dynamic count, no recompiles).
 
-    ``res_sq_fn(p) -> mean((A p - rhs)**2)``; sharded callers supply a
-    psum'd global mean so every shard agrees on the stopping decision."""
-
-    def one(p):
-        return vcycle(p, rhs, level, nu1, nu2, coarse_sweeps)
+    ``probe_fn``/``finish_fn`` are make_vcycle's ``parts=True`` split (the
+    stopping residual rides the pre-smooth — see :func:`probed_tol_loop`);
+    ``res_mean_fn(res) -> mean(res**2)`` reduces a residual array — sharded
+    callers supply a psum'd global mean so every shard stops together."""
 
     if tol <= 0:
         for _ in range(cycles):
-            p = one(p)
+            p = vcycle(p, rhs, level, nu1, nu2, coarse_sweeps)
         return p
 
-    def body(carry):
-        p, i, _ = carry
-        p2 = one(p)
-        return p2, i + 1, res_sq_fn(p2)
+    def probe(q):
+        return probe_fn(q, rhs, nu1, level, nu2, coarse_sweeps)
 
-    def cond(carry):
-        _, i, rsq = carry
-        return (i < max_cycles) & (rsq >= jnp.float32(tol) ** 2)
+    def finish(q, res):
+        return finish_fn(q, res, rhs, level, nu1, nu2, coarse_sweeps)
 
-    p, _, _ = jax.lax.while_loop(
-        cond, body, (p, jnp.int32(0), jnp.float32(jnp.inf))
-    )
-    return p
+    return probed_tol_loop(probe, finish, res_mean_fn, p, probe(p), tol,
+                           max_cycles)
 
 
 @functools.partial(jax.jit, static_argnames=("cycles", "nu1", "nu2",
@@ -232,7 +292,8 @@ def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
     start state as ops.ref.pressure_solve, far better converged).
 
     ``tol > 0`` switches from a fixed ``cycles`` count to residual-targeted
-    stopping: cycles run until rms(A p + div) < tol (cap ``max_cycles``).
+    stopping: cycles run until rms(A p + div) < tol (cap ``max_cycles``;
+    the test rides the pre-smooth's residual — see probed_tol_loop).
 
     ``smoother="burst"`` smooths big levels with the pallas trapezoid-burst
     kernel (jacobi_pallas.smooth_damped; same arithmetic as the scan —
@@ -241,13 +302,14 @@ def pressure_solve_mg(div, cycles: int = 2, nu1: int = 2, nu2: int = 2,
     lv = _levels(h, w)
     rhs = -div
 
-    def res_sq(p):
-        r = _apply_a(p) - rhs
+    def res_mean(r):
         return jnp.mean(r * r)
 
-    vc = _vcycle_pallas if smoother == "burst" else _vcycle
-    return run_cycles(vc, res_sq, jnp.zeros_like(div), rhs, lv,
-                      cycles, tol, max_cycles, nu1, nu2, coarse_sweeps)
+    vc, probe, fin = ((_vcycle_pallas, _probe_burst, _finish_burst)
+                      if smoother == "burst"
+                      else (_vcycle, _probe_scan, _finish_scan))
+    return run_cycles(vc, probe, fin, res_mean, jnp.zeros_like(div), rhs,
+                      lv, cycles, tol, max_cycles, nu1, nu2, coarse_sweeps)
 
 
 def residual_norm(p, div):
@@ -380,22 +442,19 @@ def pressure_project_mg(u, v, cycles: int = 2, nu1: int = 2, nu2: int = 2,
         p_final = p
         return pack(project_out(p))
 
-    # residual-targeted: finish cycle 1, then uniform while_loop cycles
-    p = finish_cycle(p, res)
+    # residual-targeted: the stopping test rides the residual every
+    # pre-smooth launch already emits (probed_tol_loop) — no standalone
+    # apply_a + reduction per cycle.  (p, res) from the fused
+    # first_smooth_res above IS cycle 1's probe.
+    def probe(q):
+        return _pre_smooth_res(q, rhs, nu1)
 
-    def res_sq(p):
-        r = _apply_a(p) - rhs
+    def fin(q, r):
+        return finish_cycle(q, r)
+
+    def res_mean(r):
         return jnp.mean(r * r)
 
-    def body(carry):
-        p, i, _ = carry
-        p2 = _vcycle_fused(p, rhs, lv, nu1, nu2, coarse_sweeps)
-        return p2, i + 1, res_sq(p2)
-
-    def cond(carry):
-        _, i, rsq = carry
-        return (i < max_cycles) & (rsq >= jnp.float32(tol) ** 2)
-
-    p_final, _, _ = jax.lax.while_loop(
-        cond, body, (p, jnp.int32(1), res_sq(p)))
+    p_final = probed_tol_loop(probe, fin, res_mean, jnp.zeros_like(rhs),
+                              (p, res), tol, max_cycles)
     return pack(project_out(p_final))

@@ -487,18 +487,19 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             # edges match the single-chip pad exactly
             return mg.bilinear_from_padded(_x2d(e_c, 1, edge="clamp"))
 
-        vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                         bottom_fn=bottom,
-                                         prolong_fn=_mg_prolong,
-                                         smooth_res_fn=_mg_smooth_res)
+        vcycle, _apply_a, probe, finish = mg.make_vcycle(
+            _mg_neighbors, smooth_fn=_mg_smooth, bottom_fn=bottom,
+            prolong_fn=_mg_prolong, smooth_res_fn=_mg_smooth_res, parts=True)
         rhs = -div
 
-        def res_sq(p):
-            r = apply_a(p) - rhs
+        def res_mean(r):
+            # psum'd GLOBAL mean of the probe's residual (rode the
+            # pre-smooth's 2-D exchange) — all shards stop together
             s = lax.psum(jnp.sum(r * r), (row_axis, col_axis))
             return s / (h_global * w_global)
 
-        return mg.run_cycles(vcycle, res_sq, jnp.zeros_like(div), rhs,
+        return mg.run_cycles(vcycle, probe, finish, res_mean,
+                             jnp.zeros_like(div), rhs,
                              min(level, local_cap), cycles, tol, max_cycles,
                              2, 2, 20)
 

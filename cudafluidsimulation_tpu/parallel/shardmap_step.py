@@ -586,17 +586,18 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             return mg.bilinear_from_padded(
                 jnp.pad(ep, ((0, 0), (1, 1)), mode="edge"))
 
-        vcycle, apply_a = mg.make_vcycle(_mg_neighbors, smooth_fn=_mg_smooth,
-                                         bottom_fn=bottom,
-                                         prolong_fn=_mg_prolong,
-                                         smooth_res_fn=_mg_smooth_res)
+        vcycle, _apply_a, probe, finish = mg.make_vcycle(
+            _mg_neighbors, smooth_fn=_mg_smooth, bottom_fn=bottom,
+            prolong_fn=_mg_prolong, smooth_res_fn=_mg_smooth_res, parts=True)
         rhs = -div
 
-        def res_sq(p):
-            r = apply_a(p) - rhs
+        def res_mean(r):
+            # psum'd GLOBAL mean of the probe's residual (which rode the
+            # pre-smooth's exchange) — every shard stops at the same cycle
             return lax.psum(jnp.sum(r * r), axis_name) / (h_global * w)
 
-        return mg.run_cycles(vcycle, res_sq, jnp.zeros_like(div), rhs,
+        return mg.run_cycles(vcycle, probe, finish, res_mean,
+                             jnp.zeros_like(div), rhs,
                              min(level, local_cap), cycles, tol, max_cycles,
                              2, 2, 20)
 

@@ -66,22 +66,29 @@ def test_pipeline_with_multigrid_reduces_divergence():
 
 
 def test_mg_tol_reaches_target(rng):
-    """Residual-targeted stopping: the returned iterate meets the tol that a
-    known cycle count can reach, and a loose tol stops earlier (solution
-    matches fewer fixed cycles)."""
+    """Residual-targeted stopping: the returned iterate meets tol (verified
+    at the pre-smooth probe — ops.multigrid.probed_tol_loop, which may
+    legitimately return a pre-smooth-verified iterate mid-cycle), a looser
+    tol stops EARLIER (higher residual than a tighter one, and well above
+    what one more full cycle would reach), and a tighter tol converges
+    further."""
     div = rng.standard_normal((128, 128)).astype(np.float32)
     div = jnp.asarray(div - div.mean())
     r1 = float(residual_norm(pressure_solve_mg(div, cycles=1), div))
     r2 = float(residual_norm(pressure_solve_mg(div, cycles=2), div))
-    # tol between r2 and r1 -> exactly 2 cycles -> bitwise equal to cycles=2
-    tol = 0.5 * (r1 + r2) if r1 > r2 else r1
+    r3 = float(residual_norm(pressure_solve_mg(div, cycles=3), div))
+    assert r3 < r2 < r1
+    tol = 0.5 * (r1 + r2)
     p_tol = pressure_solve_mg(div, tol=float(tol), max_cycles=8)
-    assert float(residual_norm(p_tol, div)) < tol
-    # stopped after exactly 2 cycles (same iterate as the fixed count; the
-    # while_loop body may fuse differently, so compare numerically)
-    np.testing.assert_allclose(np.asarray(p_tol),
-                               np.asarray(pressure_solve_mg(div, cycles=2)),
-                               rtol=1e-5, atol=1e-5)
+    res_loose = float(residual_norm(p_tol, div))
+    assert res_loose < tol  # the contract
+    # early stopping actually happened: nowhere near the 3-cycle residual
+    assert res_loose > r3
+    tight = 0.9 * r2
+    p_tight = pressure_solve_mg(div, tol=float(tight), max_cycles=8)
+    res_tight = float(residual_norm(p_tight, div))
+    assert res_tight < tight
+    assert res_tight <= res_loose
 
 
 def test_mg_tol_respects_max_cycles(rng):
