@@ -872,6 +872,78 @@ def _smooth_res_kernel(p_mid, p_lo, p_hi, r_mid, r_lo, r_hi, p_out, res_out,
     res_out[0] = _residual_rows(pe, re, hd)
 
 
+def _smooth_res_kernel_tiled(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
+                             p_br, r_mm, r_ml, r_mr, r_tm, r_tl, r_tr, r_bm,
+                             r_bl, r_br, p_out, res_out, *, k, hd, n_strips,
+                             t_cnt, wd, omega, from_zero):
+    """Column-tiled pre-smooth + residual (the wide-grid sibling of
+    _smooth_res_kernel): the residual taps one ring past the k-sweep
+    trapezoid, so the caller plans at hd >= k+1 — the in-kernel Neumann
+    ghosts (_assemble_ext cols, _edge_fill rows) cover exactly that ring.
+    ``from_zero`` skips the p assembly (callers pass rhs in the p slots)."""
+    i = pl.program_id(1)
+    ti = pl.program_id(2)
+    re = _assemble_ext(r_mm, r_ml, r_mr, r_tm, r_tl, r_tr, r_bm, r_bl, r_br,
+                       ti, t_cnt, hd)
+    re = _edge_fill(re, i, n_strips, hd)
+    if from_zero:
+        pe = _damped_sweeps(None, re, k, omega, True)
+    else:
+        pe = _assemble_ext(p_mm, p_ml, p_mr, p_tm, p_tl, p_tr, p_bm, p_bl,
+                           p_br, ti, t_cnt, hd)
+        pe = _edge_fill(pe, i, n_strips, hd)
+        pe = _damped_sweeps(pe, re, k, omega, False)
+    l, r, b, t = _clamped_neighbors(pe)
+    res = re - (4.0 * pe - (l + r + b + t))
+    p_out[0] = pe[hd:-hd, wd:-wd]
+    res_out[0] = res[hd:-hd, wd:-wd]
+
+
+def _smooth_res_tiled_plan(h: int, w: int, sweeps: int, block_rows: int):
+    """(h_pad, w_pad, hd, plan) when the column-tiled fused smooth+residual
+    applies (wide grids where mg_ends_fusable says no), else None.  Planned
+    at hd = halo(sweeps+1): the residual taps one ring past the trapezoid.
+    planes=8 matches the flat smooth_res VMEM budget (2 in + 2 out)."""
+    hd = _halo_depth(sweeps + 1)
+    try:
+        hp, wp, _ = _pad_geometry(h, w, hd, block_rows)
+    except ValueError:
+        return None
+    plan = _col_plan(hp, wp, hd, block_rows, planes=8)
+    if plan is None:
+        return None
+    return hp, wp, hd, plan
+
+
+def smooth_res_tiled_ok(h: int, w: int, sweeps: int,
+                        block_rows: int = 256) -> bool:
+    """True when :func:`smooth_res` has a column-tiled fused path for this
+    geometry (the wide-grid complement of :func:`mg_ends_fusable`)."""
+    return _smooth_res_tiled_plan(h, w, sweeps, block_rows) is not None
+
+
+def _smooth_res_burst_tiled(p, rhs, k: int, hd: int, h: int, w: int,
+                            omega: float, from_zero: bool, plan):
+    """One tiled fused smooth+residual burst on (1, h, w) planes."""
+    wt, wd, t_cnt, r = plan
+    unpad, halo, out = _tiled_specs(h, w, r, hd, wt, wd)
+    kern = functools.partial(_smooth_res_kernel_tiled, k=k, hd=hd,
+                             n_strips=h // r, t_cnt=t_cnt, wd=wd,
+                             omega=omega, from_zero=from_zero)
+    specs = [unpad["mm"], halo["ml"], halo["mr"], unpad["tm"],
+             halo["tl"], halo["tr"], unpad["bm"], halo["bl"],
+             halo["br"]]
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((1, h, w), jnp.float32)] * 2,
+        grid=(1, h // r, t_cnt),
+        in_specs=specs + specs,
+        out_specs=[out, out],
+        interpret=_interpret(),
+    )(p, p, p, p, p, p, p, p, p,
+      rhs, rhs, rhs, rhs, rhs, rhs, rhs, rhs, rhs)
+
+
 def _first_smooth_res_kernel(u_mid, u_lo, u_hi, v_mid, v_lo, v_hi,
                              p_out, rhs_out, res_out, *, k, hd, n_strips,
                              omega, half):
@@ -930,8 +1002,19 @@ def smooth_res(p, rhs: jnp.ndarray, sweeps: int, omega: float = 0.8, *,
     """``sweeps`` damped-Jacobi sweeps + the residual, one launch:
     returns (p', rhs - A p').  ``from_zero`` starts from p=0 and ignores
     ``p`` (pass rhs; coarse mg levels — skips the p read entirely).
-    Caller must check :func:`mg_ends_fusable`."""
+    Caller must check :func:`mg_ends_fusable` OR :func:`smooth_res_tiled_ok`
+    (wide grids run the column-tiled twin; same arithmetic, in-kernel
+    Neumann ghosts, residuals of the even extension are even so the
+    mirror-pad slice-off stays exact)."""
     h, w = rhs.shape
+    tiled = _smooth_res_tiled_plan(h, w, sweeps, block_rows)
+    if tiled is not None:
+        hp, wp, hdt, plan = tiled
+        rr = _mirror_pad(rhs[None], h, w, hp, wp)
+        pp = rr if from_zero else _mirror_pad(p[None], h, w, hp, wp)
+        p2, res = _smooth_res_burst_tiled(pp, rr, sweeps, hdt, hp, wp,
+                                          omega, from_zero, plan)
+        return p2[0, :h, :w], res[0, :h, :w]
     hd = _halo_depth(sweeps + 1)
     r = _pick_block_rows(h, hd, w, block_rows, planes=8)
     mid, lo, hi, n_strips = _strip_specs(h, w, r, hd)

@@ -335,12 +335,14 @@ def residual_norm(p, div):
 
 def _pre_smooth_res(p, rhs, nu, block_rows=256):
     """(p', rhs - A p') after nu damped sweeps; p=None starts from zero.
-    Fused pallas launch on big exact levels, scan + XLA residual elsewhere."""
+    Fused pallas launch on big exact levels (flat strips, or the
+    column-tiled twin on wide levels), scan + XLA residual elsewhere."""
     h, w = rhs.shape
     if _burst_smooth_ok(h, w):
         from cudafluidsimulation_tpu.ops import jacobi_pallas
 
-        if jacobi_pallas.mg_ends_fusable(h, w, nu, block_rows):
+        if (jacobi_pallas.mg_ends_fusable(h, w, nu, block_rows)
+                or jacobi_pallas.smooth_res_tiled_ok(h, w, nu, block_rows)):
             return jacobi_pallas.smooth_res(
                 rhs if p is None else p, rhs, nu, _OMEGA,
                 block_rows=block_rows, from_zero=p is None)

@@ -1,11 +1,13 @@
 """8192² quality row: jacobi-100 parity step vs multigrid (fused driver).
 
-At 8192² the mg fine levels (8192, 4096) are column-tiled territory, so
-mg_ends_fusable says no there and the driver runs tiled smooth_damped
-bursts + XLA residuals, with the standalone divergence/project kernels at
-the ends; levels <= 2048 use the fused flat kernels.  Measures the whole
-driven step (delta-timed scans, clear_caches between cases, best-of-3)
-plus the residuals each solver leaves.
+At 8192² the finest mg level is column-tiled territory: mg_ends_fusable
+says no there, and since r4 the pre-smooth+residual runs as the fused
+TILED smooth_res kernel (jacobi_pallas._smooth_res_kernel_tiled) instead
+of tiled smooth_damped + a separate XLA residual pass; the divergence /
+project ends stay standalone kernels at this size (4096 and below use the
+fused flat kernels).  Measures the whole driven step (delta-timed scans,
+clear_caches between cases, best-of-3) plus the residuals each solver
+leaves.
 
     python scripts/mg8192_probe.py [N [SHORT LONG]]
 """

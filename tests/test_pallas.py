@@ -658,6 +658,63 @@ def test_smooth_res_matches_composition(rng):
                                atol=1e-5)
 
 
+def test_smooth_res_tiled_matches_flat(rng):
+    """Column-tiled fused smooth+residual (wide-grid mg path) is BIT-equal
+    to the flat kernel on aligned geometry (mirror col ghosts stay exact
+    images of the clamped taps under damped sweeps), and matches the
+    scan-smoother + XLA-residual composition on mirror-PADDED geometry
+    (pad >= halo(k+1), so the residual ring never sees pad corruption).
+    jax.clear_caches() between variants: smooth_res is module-jitted and
+    the monkeypatched _col_plan is consulted at trace time."""
+    import jax
+
+    from cudafluidsimulation_tpu.ops import jacobi_pallas as jp
+    from cudafluidsimulation_tpu.ops import multigrid as mg
+
+    h, w = 64, 512
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    rhs = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    assert jp.mg_ends_fusable(h, w, 2, 32)
+    assert not jp.smooth_res_tiled_ok(h, w, 2, 32)  # narrow: flat wins
+    exp = [np.asarray(x)
+           for x in jp.smooth_res(p, rhs, 2, 0.8, block_rows=32)]
+    exp0 = [np.asarray(x) for x in jp.smooth_res(rhs, rhs, 2, 0.8,
+                                                 block_rows=32,
+                                                 from_zero=True)]
+    orig_plan = jp._col_plan
+
+    def patched(hh, ww, hd, req, planes=4):
+        if ww == 512:
+            return (256, 128, 2, jp._pick_block_rows(hh, hd, 512, req,
+                                                     planes))
+        return orig_plan(hh, ww, hd, req, planes)
+
+    jp._col_plan = patched
+    try:
+        assert jp.smooth_res_tiled_ok(h, w, 2, 32)
+        jax.clear_caches()
+        got = [np.asarray(x)
+               for x in jp.smooth_res(p, rhs, 2, 0.8, block_rows=32)]
+        got0 = [np.asarray(x) for x in jp.smooth_res(rhs, rhs, 2, 0.8,
+                                                     block_rows=32,
+                                                     from_zero=True)]
+        # padded geometry (h=60 pads to 72 mirror rows): vs composition
+        hp_, pp_ = 60, p[:60]
+        rp_ = rhs[:60]
+        gp, gr = jp.smooth_res(pp_, rp_, 2, 0.8, block_rows=32)
+    finally:
+        jp._col_plan = orig_plan
+        jax.clear_caches()
+    np.testing.assert_array_equal(got[0], exp[0])
+    np.testing.assert_array_equal(got[1], exp[1])
+    np.testing.assert_array_equal(got0[0], exp0[0])
+    np.testing.assert_array_equal(got0[1], exp0[1])
+    ep = jp.smooth_damped(pp_, rp_, 2, 0.8, block_rows=32)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr),
+                               np.asarray(rp_ - mg._apply_a(ep)), atol=1e-5)
+
+
 def test_first_smooth_res_matches_composition(rng):
     from cudafluidsimulation_tpu.ops import multigrid as mg
 
