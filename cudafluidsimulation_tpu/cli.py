@@ -40,11 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "(multigrid pressure with residual-targeted stopping "
                    "rms<0.05 + exact advection bound d=31 — the BASELINE.md "
                    "solver-frontier config); fast = both bf16-packed "
-                   "advection modes (--fast-dye --fast-vel: -4%% step time "
-                   "at 2048², -4.3%% at 8192² driven; dye visually exact at "
-                   "any horizon, velocity entrained-not-bitwise — the "
-                   "BASELINE.md fast-mode rollout curve).  Explicit flags "
-                   "override the preset")
+                   "advection modes plus separable fast diffusion "
+                   "(--fast-dye --fast-vel --fast-diffuse; dye visually "
+                   "exact at any horizon, velocity entrained-not-bitwise, "
+                   "diffusion ~1e-4 operator error — the BASELINE.md "
+                   "fast-mode rollout curve).  Explicit flags override "
+                   "the preset")
     p.add_argument("--pressure-solver", choices=["jacobi", "multigrid"],
                    default=None,
                    help="jacobi = reference-parity fixed sweeps (default); "
@@ -78,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "feeds back through self-advection (quiet steps stay "
                    "exact f32).  Off by default — reference parity "
                    "requires f32 velocity")
+    p.add_argument("--fast-diffuse", action="store_true",
+                   help="separable evaluation of the k-sweep diffusion "
+                   "blur (pallas backend): two pairs of short 1-D tap "
+                   "passes replace ~100 VPU passes for ~1e-4 operator "
+                   "error with exact clamped-edge semantics; taps are "
+                   "designed at the config dt.  Off by default — parity "
+                   "requires the exact sweep operator")
     p.add_argument("--impulse", choices=["orbit", "center", "none"], default="orbit")
     p.add_argument("--impulse-file", default="",
                    help="JSON impulse script ([x,y,pressed] per step or "
@@ -250,7 +258,8 @@ def main(argv=None) -> int:
         if args.variant == "cpu":
             raise SystemExit("--preset fast applies to the gpu variant "
                              "(the cpu parity path has no pallas kernels)")
-        overrides.update(fast_dye=True, fast_velocity=True)
+        overrides.update(fast_dye=True, fast_velocity=True,
+                         fast_diffuse=True)
     if args.diffusion_iters >= 0:
         overrides["diffusion_iters"] = args.diffusion_iters
     if args.pressure_iters >= 0:
@@ -287,6 +296,8 @@ def main(argv=None) -> int:
         overrides["fast_dye"] = True
     if args.fast_vel:
         overrides["fast_velocity"] = True
+    if args.fast_diffuse:
+        overrides["fast_diffuse"] = True
     cfg = maker(nx=nx, ny=ny, **overrides)
     sim = Simulation(cfg)
 

@@ -146,6 +146,18 @@ class FluidConfig:
     # ops/advect_pallas._advect_core_packed_vel.
     fast_velocity: bool = False
 
+    # Opt-in separable fast diffusion (pallas backend): the parity
+    # diffusion is a FIXED k-sweep linear blur M^k (the sweep's center term
+    # is the current iterate, cpuFluidSim.cpp:198-201 — a blur operator,
+    # not a converging solve); M^k's kernel is numerically rank-2
+    # separable, so two pairs of short 1-D tap passes (~36 FMA/cell at the
+    # reference's alpha=38.4/k=20) replace ~100 — diffusion is 100 of the
+    # 140 parity channel-sweeps/step.  ~1e-4 relative operator error,
+    # exact clamped-edge semantics; taps are designed at the config's
+    # NOMINAL dt (ops/fastdiffuse.py docstring).  Off by default — parity
+    # requires the exact sweep operator.
+    fast_diffuse: bool = False
+
     # Runtime dual-path advection dispatch (pallas backend): a lax.cond
     # routes quiet steps (realized |v|·dt < 1 on both axes) to a fully
     # static ±1-window core that runs at the DMA floor (960x540 quiet

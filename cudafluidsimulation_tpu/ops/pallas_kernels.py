@@ -107,6 +107,13 @@ def overrides(config: FluidConfig) -> dict:
             jacobi_pallas.vorticity_confinement, variant="cpu",
             block_rows=config.block_rows,
         )
+    if config.fast_diffuse and jacobi_pallas.supported(config):
+        from cudafluidsimulation_tpu.ops import fastdiffuse
+
+        # separable blur evaluation of the k-sweep diffusion operator
+        # (opt-in, ~1e-4 operator error — ops/fastdiffuse.py); empty when
+        # the tap volume would not undercut the exact burst
+        out.update(fastdiffuse.make_ops(config))
     d = config.max_displacement
     # gate each op on ITS channel footprint: geometries where only the
     # 3-channel dye advection overflows VMEM still get the 2-channel
