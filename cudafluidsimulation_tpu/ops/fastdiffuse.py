@@ -374,6 +374,27 @@ def _sep_apply(fields: jnp.ndarray, taps: np.ndarray, radii, splat,
     return f[:, :h, :w]
 
 
+def sharded_sep(config):
+    """(ops dict, halo radius) for the sharded namespaces, or None.
+
+    The separable op is one-shot, so a sharded shard runs it on a local
+    array padded with ONE rmax-deep mirror halo exchange (mirror = the
+    half-sample symmetric ghost the op's boundary semantics demand at true
+    domain edges; at interior seams the halo rows are real neighbor data
+    and the kernel's own edge reflection only corrupts the discarded halo
+    output rows).  rmax <= 8 vs the parity path's k-deep burst exchanges.
+    """
+    ops = make_ops(config)
+    if not ops:
+        return None
+    iters = config.diffusion_iters
+    rmax = 0
+    for coeff in (config.velocity_diffusion, config.color_diffusion):
+        xs, _ = design_taps(coeff ** 2 / config.dt, iters, rtol=2e-4)
+        rmax = max(rmax, max((len(x) - 1) // 2 for x in xs))
+    return ops, rmax
+
+
 def make_ops(config) -> dict:
     """Namespace overrides for ``config.fast_diffuse`` (consumed by
     ops.pallas_kernels.overrides).  Returns {} when the separable taps

@@ -58,12 +58,15 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
                    d: int, use_pallas: bool = False,
                    pallas_burst: int = 8, packed_vel: bool = False,
                    packed_dye: bool = False,
-                   fast_path: bool = True) -> types.SimpleNamespace:
+                   fast_path: bool = True,
+                   sep_diffuse=None) -> types.SimpleNamespace:
     """Shard-local op API for a (rows x cols) spatial mesh (consumed by
     models.pipelines.make_step, like parallel.shardmap_step.sharded_ops).
     ``packed_vel``/``packed_dye``/``fast_path`` thread config.fast_velocity /
     fast_dye / advect_fast_path into the sharded advect kernels (see
-    shardmap_step.sharded_ops)."""
+    shardmap_step.sharded_ops); ``sep_diffuse`` = (separable fast-diffuse
+    ops, halo radius) threads config.fast_diffuse — one rmax-deep
+    corner-carrying mirror exchange replaces the per-burst exchanges."""
     ns = types.SimpleNamespace()
 
     def _bases(shape):
@@ -267,7 +270,17 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
             left -= kk
         return x[0] if squeeze else x
 
+    def _sep_local(fields, op, dt, coeffs, iters):
+        """Separable fast diffuse on the local shard: one rmax-deep
+        corner-carrying mirror exchange, the single-chip op on the padded
+        array, slice both axes (see shardmap_step._sep_local)."""
+        sops, rm = sep_diffuse
+        xp = _x2d(fields, rm, edge="mirror")
+        return sops[op](xp, dt, coeffs, iters)[..., rm:-rm, rm:-rm]
+
     def diffuse(fields, dt, diffusion, iters):
+        if sep_diffuse is not None:
+            return _sep_local(fields, "diffuse", dt, diffusion, iters)
         if use_pallas:
             from cudafluidsimulation_tpu.ops import jacobi_pallas
 
@@ -279,6 +292,8 @@ def sharded_ops_2d(row_axis: str, col_axis: str, h_global: int, w_global: int,
 
     def diffuse_multi(fields, dt, coeffs, iters):
         coeffs = jnp.asarray(coeffs, jnp.float32)
+        if sep_diffuse is not None:
+            return _sep_local(fields, "diffuse_multi", dt, coeffs, iters)
         if use_pallas:
             from cudafluidsimulation_tpu.ops import jacobi_pallas
 
@@ -595,6 +610,11 @@ def _local_ops_2d(config: FluidConfig, mesh: Mesh):
         use_pallas = (jacobi_pallas.supported(local_jac)
                       and advect_pallas.flat_supported(hl + 2 * d,
                                                        wl + 2 * d, 3, d))
+    sep = None
+    if config.fast_diffuse and use_pallas:
+        from cudafluidsimulation_tpu.ops import fastdiffuse
+
+        sep = fastdiffuse.sharded_sep(config)
     return sharded_ops_2d(
         "rows", "cols", config.ny, config.nx, d,
         use_pallas=use_pallas,
@@ -602,6 +622,7 @@ def _local_ops_2d(config: FluidConfig, mesh: Mesh):
         packed_vel=config.fast_velocity,
         packed_dye=config.fast_dye,
         fast_path=config.advect_fast_path,
+        sep_diffuse=sep,
     )
 
 

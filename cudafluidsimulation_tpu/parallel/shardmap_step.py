@@ -84,7 +84,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
                 use_pallas: bool = False,
                 pallas_burst: int = 8, packed_vel: bool = False,
                 packed_dye: bool = False,
-                fast_path: bool = True) -> types.SimpleNamespace:
+                fast_path: bool = True,
+                sep_diffuse=None) -> types.SimpleNamespace:
     """Shard-local implementation of the op API consumed by make_step.
 
     With ``use_pallas`` the Jacobi stages run the single-chip burst kernels
@@ -93,7 +94,10 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
     ``packed_vel``/``packed_dye``/``fast_path`` thread the single-chip advect
     kernel options (config.fast_velocity / fast_dye / advect_fast_path) into
     the sharded advections — without this the fast flags would silently
-    no-op on multi-chip runs (round-3 advisor finding)."""
+    no-op on multi-chip runs (round-3 advisor finding).  ``sep_diffuse`` =
+    (separable fast-diffuse ops, halo radius) threads config.fast_diffuse
+    the same way (ops.fastdiffuse.sharded_sep): ONE rmax-deep mirror
+    exchange replaces the per-burst k-deep exchanges."""
     ns = types.SimpleNamespace()
 
     def _vmax_repl(u2, v2):
@@ -290,7 +294,18 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
             left -= kk
         return x[0] if squeeze else x
 
+    def _sep_local(fields, op, dt, coeffs, iters):
+        """Separable fast diffuse on the local shard: one rmax-deep mirror
+        exchange (exact HS-symmetric ghosts at true edges, real rows at
+        seams), the single-chip op on the padded array (its own edge
+        reflection only touches the discarded halo output rows), slice."""
+        sops, rm = sep_diffuse
+        xp = exchange_rows(fields, rm, axis_name, edge="mirror")
+        return sops[op](xp, dt, coeffs, iters)[..., rm:-rm, :]
+
     def diffuse(fields, dt, diffusion, iters):
+        if sep_diffuse is not None:
+            return _sep_local(fields, "diffuse", dt, diffusion, iters)
         if use_pallas:
             from cudafluidsimulation_tpu.ops import jacobi_pallas
 
@@ -302,6 +317,8 @@ def sharded_ops(axis_name: str, h_global: int, d: int,
 
     def diffuse_multi(fields, dt, coeffs, iters):
         coeffs = jnp.asarray(coeffs, jnp.float32)
+        if sep_diffuse is not None:
+            return _sep_local(fields, "diffuse_multi", dt, coeffs, iters)
         if use_pallas:
             from cudafluidsimulation_tpu.ops import jacobi_pallas
 
@@ -651,6 +668,11 @@ def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
         use_pallas = jacobi_pallas.supported(local_jac) and advect_pallas.supported(
             hl + 2 * d, config.nx, 3, d
         )
+    sep = None
+    if config.fast_diffuse and use_pallas:
+        from cudafluidsimulation_tpu.ops import fastdiffuse
+
+        sep = fastdiffuse.sharded_sep(config)
     return sharded_ops(
         axis_name, config.ny, config.max_displacement,
         use_pallas=use_pallas,
@@ -658,6 +680,7 @@ def _local_ops(config: FluidConfig, mesh: Mesh, axis_name: str):
         packed_vel=config.fast_velocity,
         packed_dye=config.fast_dye,
         fast_path=config.advect_fast_path,
+        sep_diffuse=sep,
     )
 
 
