@@ -101,6 +101,44 @@ def main():
         raise last_err
     steps_per_sec = steps / sec
 
+    def _variant_rate(vcfg):
+        """Best-of driven steps/s of a config variant on the same impulse
+        stream (fresh Simulation; same scalar-fetch sync discipline)."""
+        vsim = Simulation(vcfg)
+        vstate = vsim.init()
+
+        @jax.jit
+        def vrun(st, im):
+            out = vsim._jit_run(st, im)
+            return out.u[0, 0]
+
+        float(vrun(vstate, imp))  # compile
+        vt = []
+        for _ in range(timing_iters):
+            t0 = time.perf_counter()
+            float(vrun(vstate, imp))
+            vt.append(time.perf_counter() - t0)
+        return steps / min(vt)
+
+    # beyond-parity headline rows, re-measured every round so the driver
+    # records them next to the parity number (r4 verdict #7):
+    #   quality = multigrid pressure, residual-targeted rms(Ap+div)<0.05
+    #   fast    = bf16-packed advection + separable fast diffuse
+    extra = {}
+    for key, vcfg in (
+        ("quality_steps_per_sec",
+         FluidConfig.quality(nx=n, ny=n, backend="auto")),
+        ("fast_steps_per_sec",
+         FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=40,
+                                   backend="auto", max_displacement=d,
+                                   fast_dye=True, fast_velocity=True,
+                                   fast_diffuse=True)),
+    ):
+        try:
+            extra[key] = round(_variant_rate(vcfg), 2)
+        except Exception:  # keep the parity line on variant-path flakes
+            extra[key] = None
+
     gcell = steps_per_sec * n * n / 1e9
     baseline_gcell = 0.056  # reference RTX 3090: 960*540*108 (BASELINE.md)
     result = {
@@ -110,6 +148,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(gcell / baseline_gcell, 2),
         "quiet_steps_per_sec": round(steps / quiet_sec, 2),
+        **extra,
         "max_displacement": d,
         "realized_max_displacement": round(max(disp_x, disp_y), 2),
         # vertical taps are always bounded at d on the pallas path; the
