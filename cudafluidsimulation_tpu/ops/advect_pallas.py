@@ -98,13 +98,19 @@ def _finish(acc, mode, decay_rate, dt):
 
 
 def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
-                 r, hd, d, d_x, c, wt):
+                 r, hd, d, d_x, c, wt, win_ref=None):
     """The shared masked-shift-accumulation loop.
 
     ``u``/``v``: (r, wt) velocity at the output cells.  ``ext``: the
     (c, r + 2*hd, wt + 2*wd) tap neighborhood whose core starts at row hd,
     col wd (wd = 0 on the flat path).  ``y0``/``x0``: GLOBAL coordinates of
-    the output block's first row/col.  Returns the (c, r, wt) output."""
+    the output block's first row/col.  Returns the (c, r, wt) output.
+
+    ``win_ref``: optional SMEM scratch (2*(2d+1),) i32 — when present the
+    per-dy dx windows are computed in a vectorized PRE-PASS and the main
+    loop reads precomputed scalars instead of serializing a reduce->scalar
+    chain into every dy iteration (the r4 verdict's stall hypothesis for
+    the 2048² driven gap; A/B via scripts/advect_prepass_ab.py)."""
     he = r + 2 * hd
     wext = ext.shape[2]
     wd = (wext - wt) // 2
@@ -124,11 +130,7 @@ def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
     dylo = jnp.minimum(jnp.min(dy1), jnp.min(dy2))
     dyhi = jnp.maximum(jnp.max(dy1), jnp.max(dy2))
 
-    def dy_body(dy, acc):
-        wy = (
-            jnp.where(dy1 == dy, 1.0 - ty, 0.0)
-            + jnp.where(dy2 == dy, ty, 0.0)
-        )
+    def _dx_window(dy):
         # Per-dy dx window: only cells whose backtrace touches row offset dy
         # contribute here, so sweep just THEIR realized x-offsets.  In
         # rotational flow the displacement set hugs a circle of radius
@@ -138,8 +140,28 @@ def _advect_core(dt, y0, x0, u, v, ext, *, mode, decay_rate, h_phys, w_phys,
         # cellwise extrema are dx1/dx2; empty masks yield lo > hi and the
         # fori_loop runs zero iterations.)
         active = (dy1 == dy) | (dy2 == dy)
-        dxlo = jnp.min(jnp.where(active, dx1, d_x))
-        dxhi = jnp.max(jnp.where(active, dx2, -d_x))
+        return (jnp.min(jnp.where(active, dx1, d_x)),
+                jnp.max(jnp.where(active, dx2, -d_x)))
+
+    if win_ref is not None:
+        def pre_body(dy, z):
+            lo, hi = _dx_window(dy)
+            win_ref[2 * (dy - dylo)] = lo
+            win_ref[2 * (dy - dylo) + 1] = hi
+            return z
+
+        jax.lax.fori_loop(dylo, dyhi + 1, pre_body, 0)
+
+    def dy_body(dy, acc):
+        wy = (
+            jnp.where(dy1 == dy, 1.0 - ty, 0.0)
+            + jnp.where(dy2 == dy, ty, 0.0)
+        )
+        if win_ref is not None:
+            dxlo = win_ref[2 * (dy - dylo)]
+            dxhi = win_ref[2 * (dy - dylo) + 1]
+        else:
+            dxlo, dxhi = _dx_window(dy)
 
         # rows y+dy of the strip: roll rows by -dy, slice the core.
         # |dy| <= d <= hd so selected rows never wrap.
@@ -389,9 +411,11 @@ def _emit_stats(st, val, ci, *rest, cb):
 
 
 def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
-                   *maybe_st, mode, decay_rate, h, w, h_phys, w_phys, r, hd,
-                   d, d_x, c, core=None):
+                   *rest, mode, decay_rate, h, w, h_phys, w_phys, r, hd,
+                   d, d_x, c, core=None, prepass=False):
     i = pl.program_id(1)
+    win = {"win_ref": rest[-1]} if prepass else {}
+    maybe_st = rest[:-1] if prepass else rest
     # y0_ref/x0_ref hold the GLOBAL coordinates of array row/col 0 (nonzero
     # when a shard_map caller advects a halo-padded local view of a global
     # field); offsets dx/dy below stay local because translation cancels
@@ -400,7 +424,7 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
         dt_ref[0, 0], i * r + y0_ref[0, 0], x0_ref[0, 0],
         u_ref[:], v_ref[:], ext,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
-        r=r, hd=hd, d=d, d_x=d_x, c=c, wt=w,
+        r=r, hd=hd, d=d, d_x=d_x, c=c, wt=w, **win,
     )
     if maybe_st:
         _emit_stats(maybe_st[0], out[...], pl.program_id(0), i, cb=c)
@@ -408,15 +432,17 @@ def _advect_kernel(dt_ref, y0_ref, x0_ref, u_ref, v_ref, fm, fl, fh, out,
 
 def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
                          f_mm, f_ml, f_mh, f_lm, f_ll, f_lh,
-                         f_hm, f_hl, f_hh, out, *maybe_st,
+                         f_hm, f_hl, f_hh, out, *rest,
                          mode, decay_rate, h, h_phys, w_phys, r, hd, d,
-                         c, wt, wd, core=None):
+                         c, wt, wd, core=None, prepass=False):
     """Column-tiled program: the tap neighborhood arrives as a 3x3 halo
     block assembly (rows lo/mid/hi x cols lo/mid/hi of the same field
     array), so one launch covers the whole (channels, strips, tiles) grid
     with no materialized tiled copy.  Horizontal taps bound at d <= wd."""
     i = pl.program_id(1)
     t = pl.program_id(2)
+    win = {"win_ref": rest[-1]} if prepass else {}
+    maybe_st = rest[:-1] if prepass else rest
     top = jnp.concatenate([f_ll[:], f_lm[:], f_lh[:]], axis=2)
     mid = jnp.concatenate([f_ml[:], f_mm[:], f_mh[:]], axis=2)
     bot = jnp.concatenate([f_hl[:], f_hm[:], f_hh[:]], axis=2)
@@ -425,7 +451,7 @@ def _advect_kernel_tiled(dt_ref, y0_ref, x0_ref, u_ref, v_ref,
         dt_ref[0, 0], i * r + y0_ref[0, 0], t * wt + x0_ref[0, 0],
         u_ref[:], v_ref[:], ext,
         mode=mode, decay_rate=decay_rate, h_phys=h_phys, w_phys=w_phys,
-        r=r, hd=hd, d=d, d_x=d, c=c, wt=wt,
+        r=r, hd=hd, d=d, d_x=d, c=c, wt=wt, **win,
     )
     if maybe_st:
         _emit_stats(maybe_st[0], out[...], pl.program_id(0), i, t, cb=c)
@@ -441,6 +467,13 @@ def _halo(d: int) -> int:
 # the margin covers Mosaic's own scratch).  Module global so the probe
 # scripts can sweep it — see scripts/advect_probe2.py and docs/ROADMAP.md.
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+# Experimental per-dy window pre-pass (SMEM scratch) for the exact dynamic
+# core: computes ALL dx windows before the dy loop so the loop reads
+# precomputed scalars instead of stalling on a reduce->scalar chain per
+# iteration.  Module global for A/B probes (scripts/advect_prepass_ab.py);
+# flips the default only on measured acceptance.
+_WINDOW_PREPASS = False
 
 # The runtime dual-path dispatch (lax.cond) to the static ±1-window core on
 # quiet steps is controlled by the ``fast_path`` argument of :func:`advect`
@@ -661,10 +694,11 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
                            memory_space=pltpu.SMEM)
 
     def launch(core):
+        prepass = _WINDOW_PREPASS and core is None
         kern = functools.partial(
             _advect_kernel, mode=mode, decay_rate=decay_rate,
             h=hp, w=wp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
-            d_x=(d_x or wp - 1), c=cb, core=core,
+            d_x=(d_x or wp - 1), c=cb, core=core, prepass=prepass,
         )
         shapes = [jax.ShapeDtypeStruct((c, hp, wp), jnp.float32)]
         specs = [mid]
@@ -677,6 +711,9 @@ def _advect_flat(fields, u, v, dt, decay_rate, mode, d,
             grid=(c_grid, n_strips),
             in_specs=[smem, smem, smem, plane, plane, mid, lo, hi],
             out_specs=specs,
+            scratch_shapes=(
+                [pltpu.SMEM((2 * (2 * d + 1),), jnp.int32)] if prepass
+                else []),
             interpret=_interpret(),
         )
         return lambda a: call(a[0], a[1], a[2], a[3], a[4], a[5], a[5], a[5])
@@ -765,10 +802,11 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
                            memory_space=pltpu.SMEM)
 
     def launch(core):
+        prepass = _WINDOW_PREPASS and core is None
         kern = functools.partial(
             _advect_kernel_tiled, mode=mode, decay_rate=decay_rate,
             h=hp, h_phys=h_phys, w_phys=w_phys, r=r, hd=hd, d=d,
-            c=cb, wt=wt, wd=wd, core=core,
+            c=cb, wt=wt, wd=wd, core=core, prepass=prepass,
         )
         shapes = [jax.ShapeDtypeStruct((c, hp, wp), jnp.float32)]
         specs = [out_spec]
@@ -783,6 +821,9 @@ def _advect_tiled(fields, u, v, dt, decay_rate, mode, d,
             in_specs=[smem, smem, smem, plane, plane,
                       f_mm, f_ml, f_mh, f_lm, f_ll, f_lh, f_hm, f_hl, f_hh],
             out_specs=specs,
+            scratch_shapes=(
+                [pltpu.SMEM((2 * (2 * d + 1),), jnp.int32)] if prepass
+                else []),
             interpret=_interpret(),
         )
         return lambda a: call(a[0], a[1], a[2], a[3], a[4],

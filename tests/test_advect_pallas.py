@@ -568,3 +568,48 @@ def test_fast_mode_multi_step_error_envelope():
     rel = float(jnp.sqrt(jnp.mean((uv_ex - uv_pk) ** 2))
                 / jnp.abs(uv_ex).max())
     assert rel < 0.01, rel  # measured 0.0033 at r4
+
+
+def test_window_prepass_bit_equal():
+    """The per-dy window PRE-PASS variant (advect_pallas._WINDOW_PREPASS,
+    SMEM-scratch windows computed before the dy loop) must be bit-identical
+    to the in-loop reductions on both kernel geometries — it changes WHEN
+    the same scalars are computed, never their values (A/B probe:
+    scripts/advect_prepass_ab.py)."""
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dt = 1 / 60
+    try:
+        # flat geometry
+        h, w, d = 64, 256, 15
+        u = jnp.asarray(rng.standard_normal((h, w)) * 300, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((h, w)) * 300, jnp.float32)
+        dye = jnp.asarray(rng.random((3, h, w)), jnp.float32)
+        base = advect_pallas.advect_dye(dye, u, v, dt, 1.2, d,
+                                        fast_path=False)
+        advect_pallas._WINDOW_PREPASS = True
+        jax.clear_caches()  # the flag is read at trace time
+        pre = advect_pallas.advect_dye(dye, u, v, dt, 1.2, d,
+                                       fast_path=False)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(pre))
+
+        # column-tiled geometry
+        advect_pallas._WINDOW_PREPASS = False
+        jax.clear_caches()
+        h2, w2, d2 = 32, 4608, 31
+        assert advect_pallas.uses_column_tiling(h2, w2, 3, d2)
+        u2 = jnp.asarray(rng.standard_normal((h2, w2)) * 300, jnp.float32)
+        v2 = jnp.asarray(rng.standard_normal((h2, w2)) * 300, jnp.float32)
+        dye2 = jnp.asarray(rng.random((3, h2, w2)), jnp.float32)
+        b2 = advect_pallas.advect_dye(dye2, u2, v2, dt, 1.2, d2,
+                                      fast_path=False)
+        advect_pallas._WINDOW_PREPASS = True
+        jax.clear_caches()
+        p2 = advect_pallas.advect_dye(dye2, u2, v2, dt, 1.2, d2,
+                                      fast_path=False)
+        np.testing.assert_array_equal(np.asarray(b2), np.asarray(p2))
+    finally:
+        advect_pallas._WINDOW_PREPASS = False
+        jax.clear_caches()
