@@ -27,6 +27,11 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.jpg_encode_mt.restype = ctypes.c_long
+    lib.jpg_encode_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -37,8 +42,14 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def jpeg_bytes(frame: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_bytes(frame: np.ndarray, quality: int = 90,
+               threads: int = 1) -> bytes:
     """Encode an (H, W, 3|4) uint8 frame as baseline JFIF bytes.
+
+    ``threads`` > 1 row-stripes the DCT+Huffman work over that many native
+    worker threads (restart-marker bands, any baseline decoder accepts the
+    stream); 0 = one thread per hardware core.  threads=1 keeps the
+    bit-identical single-threaded stream.
 
     Raises RuntimeError when the native encoder is unavailable — callers
     that can degrade should check :func:`native_available` first."""
@@ -52,16 +63,22 @@ def jpeg_bytes(frame: np.ndarray, quality: int = 90) -> bytes:
         frame = np.concatenate(
             [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=2)
     h, w = frame.shape[:2]
+    if threads == 0:
+        import os
+
+        threads = os.cpu_count() or 1
     cap = w * h * 4 + 4096
     buf = ctypes.create_string_buffer(cap)
-    n = lib.jpg_encode(frame.tobytes(), w, h, int(quality), buf, cap)
+    raw = frame.tobytes()
+    n = lib.jpg_encode_mt(raw, w, h, int(quality), int(threads), buf, cap)
     if n <= 0:
         # -needed: capacity miss (only possible for pathological inputs,
         # where entropy coding expands past the raw size)
         if n < 0:
             cap = -int(n)
             buf = ctypes.create_string_buffer(cap)
-            n = lib.jpg_encode(frame.tobytes(), w, h, int(quality), buf, cap)
+            n = lib.jpg_encode_mt(raw, w, h, int(quality), int(threads),
+                                  buf, cap)
         if n <= 0:
             raise RuntimeError(f"jpg_encode failed (rc={int(n)})")
     return buf.raw[:n]

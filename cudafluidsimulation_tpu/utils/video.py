@@ -127,7 +127,9 @@ class AviWriter:
                 f"frame is {frame.shape[1]}x{frame.shape[0]}, "
                 f"writer is {self.w}x{self.h}")
         if self.codec == "mjpeg":
-            payload = self._encode(frame, quality=self.quality)
+            # threads=0 -> one restart-marker band per core (utils/jpeg.py);
+            # recording must keep pace with the sim, same as the live view
+            payload = self._encode(frame, quality=self.quality, threads=0)
         else:
             bgr = frame[::-1, :, 2::-1]  # bottom-up rows, RGB -> BGR
             rows = np.zeros((self.h, self._stride), np.uint8)

@@ -8,8 +8,17 @@
 // lossless zlib pass is 5-10x more encode time than a visually lossless
 // JPEG at quality ~90.
 //
-// Not implemented (not needed here): progressive scans, restart markers,
-// arithmetic coding, 4:4:4 / grayscale modes, EXIF.
+// Multithreaded encode (encode_jpeg with threads > 1) stripes the image
+// into bands of whole 16-row MCU rows, one thread per band: a DRI marker
+// sets the restart interval to exactly one band's MCU count, each band is
+// entropy-coded independently (DC predictors reset, byte-aligned flush —
+// precisely the state a restart marker declares), and the bands are joined
+// with RST0..7 markers.  Any baseline decoder accepts the stream; at
+// threads=1 the output is BIT-IDENTICAL to the original single-threaded
+// encoder (no DRI, no markers).
+//
+// Not implemented (not needed here): progressive scans, arithmetic coding,
+// 4:4:4 / grayscale modes, EXIF.
 
 #ifndef TPUFLUIDS_JPEG_ENCODE_H_
 #define TPUFLUIDS_JPEG_ENCODE_H_
@@ -17,6 +26,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace jpegenc {
@@ -234,12 +244,70 @@ inline void marker(std::vector<uint8_t>& o, uint8_t m, uint16_t len) {
   put16(o, len);
 }
 
+// Entropy-code MCU rows [my0, my1) into ``out`` with fresh DC predictors
+// and a byte-aligned tail — one restart interval's worth of scan data.
+inline void encode_mcu_rows(const uint8_t* rgba, int w, int h, int my0,
+                            int my1, const float rlum[64],
+                            const float rchr[64], const HuffTable& dc_lum,
+                            const HuffTable& ac_lum, const HuffTable& dc_chr,
+                            const HuffTable& ac_chr,
+                            std::vector<uint8_t>& out) {
+  BitWriter bw(out);
+  int dcY = 0, dcCb = 0, dcCr = 0;
+  int mcux = (w + 15) / 16;
+  float Y[16 * 16], Cb[8 * 8], Cr[8 * 8], blk[64];
+  for (int my = my0; my < my1; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      // color-convert the 16x16 tile; average 2x2 for chroma
+      for (int sy = 0; sy < 16; sy += 2) {
+        for (int sx = 0; sx < 16; sx += 2) {
+          float cb = 0, cr = 0;
+          for (int dy = 0; dy < 2; ++dy) {
+            for (int dx = 0; dx < 2; ++dx) {
+              int px = mx * 16 + sx + dx, py = my * 16 + sy + dy;
+              if (px >= w) px = w - 1;
+              if (py >= h) py = h - 1;
+              const uint8_t* p = rgba + (size_t(py) * w + px) * 4;
+              float r = p[0], g = p[1], b = p[2];
+              Y[(sy + dy) * 16 + sx + dx] =
+                  0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
+              cb += -0.168736f * r - 0.331264f * g + 0.5f * b;
+              cr += 0.5f * r - 0.418688f * g - 0.081312f * b;
+            }
+          }
+          Cb[(sy / 2) * 8 + sx / 2] = cb * 0.25f;
+          Cr[(sy / 2) * 8 + sx / 2] = cr * 0.25f;
+        }
+      }
+      for (int b = 0; b < 4; ++b) {  // 4 Y blocks, left-to-right then down
+        int ox = (b & 1) * 8, oy = (b >> 1) * 8;
+        for (int y = 0; y < 8; ++y)
+          for (int x = 0; x < 8; ++x)
+            blk[y * 8 + x] = Y[(oy + y) * 16 + ox + x];
+        fdct8x8(blk);
+        dcY = encode_block(bw, blk, rlum, dc_lum, ac_lum, dcY);
+      }
+      std::memcpy(blk, Cb, sizeof(blk));
+      fdct8x8(blk);
+      dcCb = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCb);
+      std::memcpy(blk, Cr, sizeof(blk));
+      fdct8x8(blk);
+      dcCr = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCr);
+    }
+  }
+  bw.flush();
+}
+
 }  // namespace detail
 
 // RGBA (row-major, w*h*4 bytes, y-down) -> baseline JFIF bytes.
 // quality in [1, 100], libjpeg semantics (90 ~ visually lossless).
+// threads > 1 row-stripes the entropy coding over that many worker threads
+// (restart-marker bands; see the header comment) — the encoder was the
+// live-view bottleneck at 2048² (43 ms/frame single-threaded at q90 vs a
+// 6.5 ms sim step).
 inline std::vector<uint8_t> encode_jpeg(const uint8_t* rgba, int w, int h,
-                                        int quality = 90) {
+                                        int quality = 90, int threads = 1) {
   using namespace detail;
   std::vector<uint8_t> out;
   out.reserve(size_t(w) * h / 2 + 1024);
@@ -300,6 +368,24 @@ inline std::vector<uint8_t> encode_jpeg(const uint8_t* rgba, int w, int h,
     for (int i = 1; i <= 16; ++i) out.push_back(d.bits[i]);
     out.insert(out.end(), d.vals, d.vals + d.n);
   }
+  // -- band plan: whole MCU rows per thread; every band but the last holds
+  // exactly rows_per_band rows, so one band == one restart interval (DRI's
+  // 16-bit MCU count bounds rows_per_band from below)
+  int mcux = (w + 15) / 16, mcuy = (h + 15) / 16;
+  int bands = 1;
+  int rows_per_band = mcuy;
+  if (threads > 1 && mcuy > 1) {
+    int want = threads < mcuy ? threads : mcuy;
+    rows_per_band = (mcuy + want - 1) / want;
+    while (size_t(mcux) * rows_per_band > 0xFFFF) ++rows_per_band;
+    if (rows_per_band < mcuy)
+      bands = (mcuy + rows_per_band - 1) / rows_per_band;
+  }
+  if (bands > 1) {
+    marker(out, 0xDD, 4);  // DRI: restart every band's worth of MCUs
+    put16(out, uint16_t(mcux * rows_per_band));
+  }
+
   marker(out, 0xDA, 12);  // SOS
   out.push_back(3);
   const uint8_t sos_comp[] = {1, 0x00, 2, 0x11, 3, 0x11};
@@ -309,49 +395,31 @@ inline std::vector<uint8_t> encode_jpeg(const uint8_t* rgba, int w, int h,
   out.push_back(0);
 
   // -- entropy-coded 16x16 MCUs (4 Y + Cb + Cr), edge-replicated
-  BitWriter bw(out);
-  int dcY = 0, dcCb = 0, dcCr = 0;
-  int mcux = (w + 15) / 16, mcuy = (h + 15) / 16;
-  float Y[16 * 16], Cb[8 * 8], Cr[8 * 8], blk[64];
-  for (int my = 0; my < mcuy; ++my) {
-    for (int mx = 0; mx < mcux; ++mx) {
-      // color-convert the 16x16 tile; average 2x2 for chroma
-      for (int sy = 0; sy < 16; sy += 2) {
-        for (int sx = 0; sx < 16; sx += 2) {
-          float cb = 0, cr = 0;
-          for (int dy = 0; dy < 2; ++dy) {
-            for (int dx = 0; dx < 2; ++dx) {
-              int px = mx * 16 + sx + dx, py = my * 16 + sy + dy;
-              if (px >= w) px = w - 1;
-              if (py >= h) py = h - 1;
-              const uint8_t* p = rgba + (size_t(py) * w + px) * 4;
-              float r = p[0], g = p[1], b = p[2];
-              Y[(sy + dy) * 16 + sx + dx] =
-                  0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
-              cb += -0.168736f * r - 0.331264f * g + 0.5f * b;
-              cr += 0.5f * r - 0.418688f * g - 0.081312f * b;
-            }
-          }
-          Cb[(sy / 2) * 8 + sx / 2] = cb * 0.25f;
-          Cr[(sy / 2) * 8 + sx / 2] = cr * 0.25f;
-        }
+  if (bands == 1) {
+    encode_mcu_rows(rgba, w, h, 0, mcuy, rlum, rchr, dc_lum, ac_lum, dc_chr,
+                    ac_chr, out);
+  } else {
+    std::vector<std::vector<uint8_t>> parts(bands);
+    std::vector<std::thread> pool;
+    pool.reserve(bands);
+    for (int b = 0; b < bands; ++b) {
+      int my0 = b * rows_per_band;
+      int my1 = my0 + rows_per_band < mcuy ? my0 + rows_per_band : mcuy;
+      parts[b].reserve(size_t(w) * 16 * rows_per_band / 4 + 64);
+      pool.emplace_back([&, b, my0, my1] {
+        encode_mcu_rows(rgba, w, h, my0, my1, rlum, rchr, dc_lum, ac_lum,
+                        dc_chr, ac_chr, parts[b]);
+      });
+    }
+    for (auto& t : pool) t.join();
+    for (int b = 0; b < bands; ++b) {
+      out.insert(out.end(), parts[b].begin(), parts[b].end());
+      if (b != bands - 1) {  // RST0..7 between intervals, none before EOI
+        out.push_back(0xFF);
+        out.push_back(uint8_t(0xD0 + (b & 7)));
       }
-      for (int b = 0; b < 4; ++b) {  // 4 Y blocks, left-to-right then down
-        int ox = (b & 1) * 8, oy = (b >> 1) * 8;
-        for (int y = 0; y < 8; ++y)
-          for (int x = 0; x < 8; ++x) blk[y * 8 + x] = Y[(oy + y) * 16 + ox + x];
-        fdct8x8(blk);
-        dcY = encode_block(bw, blk, rlum, dc_lum, ac_lum, dcY);
-      }
-      std::memcpy(blk, Cb, sizeof(blk));
-      fdct8x8(blk);
-      dcCb = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCb);
-      std::memcpy(blk, Cr, sizeof(blk));
-      fdct8x8(blk);
-      dcCr = encode_block(bw, blk, rchr, dc_chr, ac_chr, dcCr);
     }
   }
-  bw.flush();
   out.push_back(0xFF);
   out.push_back(0xD9);  // EOI
   return out;

@@ -475,6 +475,47 @@ def test_jpeg_fuzz_sizes_and_qualities(rng):
                 assert ours <= theirs * 1.3 + 2.0, (h, w, q, ours, theirs)
 
 
+def test_jpeg_multithreaded_bands_decode_identically(rng):
+    """threads>1 row-stripes the entropy coding into restart-marker bands
+    (native/jpeg_encode.h): the stream must carry a DRI marker, stay a
+    valid baseline JFIF, and decode BIT-identically to the single-threaded
+    stream — restart markers only repackage the entropy coding, the
+    DCT/quantization path is shared.  Covers partial-MCU heights, band
+    counts above the MCU-row count, and the threads=0 (auto) path."""
+    from cudafluidsimulation_tpu.utils import jpeg
+
+    if not jpeg.native_available():
+        pytest.skip("no native toolchain")
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no PIL to decode")
+
+    for (h, w) in [(64, 48), (17, 33), (15, 256), (540, 96)]:
+        img = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+        img[: max(1, h // 2)] = np.linspace(
+            0, 255, w, dtype=np.uint8)[None, :, None]
+        st = jpeg.jpeg_bytes(img, quality=90, threads=1)
+        ref = np.asarray(
+            Image.open(io.BytesIO(st)).convert("RGB"), np.int16)
+        for threads in (2, 3, 8, 0, 999):
+            mt = jpeg.jpeg_bytes(img, quality=90, threads=threads)
+            assert mt[:2] == b"\xff\xd8" and mt[-2:] == b"\xff\xd9"
+            mcuy = (h + 15) // 16
+            if threads > 1 and mcuy > 1:
+                assert b"\xff\xdd" in mt, (h, w, threads)  # DRI present
+            dec = np.asarray(
+                Image.open(io.BytesIO(mt)).convert("RGB"), np.int16)
+            assert (dec == ref).all(), (h, w, threads)
+    # single-MCU-row images cannot band: the stream stays the
+    # single-threaded one, bit for bit (no DRI, no restart markers)
+    tiny = rng.integers(0, 255, (16, 64, 4), dtype=np.uint8)
+    assert jpeg.jpeg_bytes(tiny, 90, threads=8) == jpeg.jpeg_bytes(
+        tiny, 90, threads=1)
+
+
 def test_cli_http_interactive(tmp_path):
     """--view http --interactive end-to-end: a 'browser' posts a press to
     /input (dye must appear), then q — the run exits cleanly and the final
