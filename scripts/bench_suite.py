@@ -148,6 +148,22 @@ def main():
         emit(f"single-chip {n}^2 x{steps} (100 pressure iters)", steps, sec,
              n * n)
 
+    # 4b-XL. 16384² capacity anchor (7.0 GB of f32 fields; BENCH_16384=1 to
+    # enable — the compile + rollout is minutes and stresses HBM headroom).
+    # The column planners hold: jacobi tiles 8 x (2048 + 2*128 halo) at
+    # r=128, advect tiles at (1024, 128) x 16x64 (probed on CPU; the run
+    # itself is the real VMEM/HBM evidence).
+    if on_tpu and os.environ.get("BENCH_16384"):
+        n = 16384
+        steps = 8
+        cfg = FluidConfig.gpu_reference(nx=n, ny=n, pressure_iters=100,
+                                        backend="auto")
+        sim = Simulation(cfg)
+        imp = orbit_impulse(steps, cfg.dt, center=(n / 2, n / 2), radius=n / 8)
+        sec = timed(sim._jit_run, sim.init(), imp, reps=2)
+        emit(f"single-chip {n}^2 x{steps} (100 pressure iters)", steps, sec,
+             n * n)
+
     # 4c. solver quality/time frontier: the parity Jacobi-40 barely dents
     # the pressure residual at 2048² (it stalls on low-frequency error),
     # while multigrid actually SOLVES the Poisson problem — the measured
