@@ -1,4 +1,5 @@
-"""Fast-mode rollout accuracy: RMSE-vs-steps of --fast-dye / --fast-vel.
+"""Fast-mode rollout accuracy: RMSE-vs-steps of --fast-dye / --fast-vel /
+--fast-diffuse (r5) and the full --preset fast bundle.
 
 r3 characterized the bf16-packed cores per-STEP (~5e-3 dye, ~2^-9
 relative velocity taps); chaotic rollouts decorrelate from the f32
@@ -35,6 +36,11 @@ def main():
         "fast_dye": {"fast_dye": True},
         "fast_vel": {"fast_velocity": True},
         "fast_both": {"fast_dye": True, "fast_velocity": True},
+        # r5: the separable-diffuse arm (~1.2e-4 per-application operator
+        # error, ops/fastdiffuse.py) and the full --preset fast bundle
+        "fast_diffuse": {"fast_diffuse": True},
+        "fast_all": {"fast_dye": True, "fast_velocity": True,
+                     "fast_diffuse": True},
     }
     sims, states = {}, {}
     for name, over in arms.items():
@@ -59,7 +65,9 @@ def main():
         ex = states["exact"]
         row = {"step": (seg + 1) * every}
         fr_ex = sims["exact"].render(ex).astype(jnp.float32)
-        for name in ("fast_dye", "fast_vel", "fast_both"):
+        for name in arms:
+            if name == "exact":
+                continue
             st = states[name]
             row[f"{name}_dye_rmse"] = round(rmse(st.dye, ex.dye), 5)
             row[f"{name}_vel_rmse"] = round(
